@@ -1,0 +1,188 @@
+"""Differentiable simplex-cone projection QPs.
+
+Solves, per batch row, the box-and-budget projection
+
+    v* = argmin_v  0.5 ||v - nominal||^2
+         s.t.      sum(v) = 0,   lower <= v  (<= upper)
+
+whose KKT conditions reduce to a 1-D root-find in the dual variable mu:
+``v(mu) = clip(nominal - mu, lower, upper)`` with ``sum(v(mu)) = 0``.
+``sum(v(mu))`` is monotone non-increasing in mu, so mu is found by bisection
+with a fixed iteration count (branch-free, jit/vmap-friendly on TPU).
+
+The backward pass is the closed-form active-set Jacobian of the projection:
+with F = {i : lower_i < v_i < upper_i} the free set, the solution locally is
+``v_F = nominal_F - mean(nominal_F + sum of clamped bounds)`` so
+
+    d v* / d nominal = P_F (I - 1 1^T / |F|) P_F
+    d v* / d lower   = on the lower-active set, rows couple through mu
+
+This mirrors the active-set VJP of the reference implementation
+(FI-ODE barrier_projection/barrier_projection.py:272-311 for the no-upper
+variant and :164-212 for the two-sided variant) but is computed in O(n) per
+row without materialising n x n Jacobians.
+
+Behavioural notes matching the reference:
+  * fixed ``max_iter`` bisection (reference: 30 iters, tol 1e-4 early exit;
+    30 halvings of the initial bracket reach far below 1e-4, so a fixed
+    iteration count is a strict refinement and keeps the graph static).
+  * active sets are decided by the sign of ``lambda = v - nominal + mu``
+    exactly as in the reference backward.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "simplex_cone_project",
+    "simplex_box_project",
+    "cone_project_mu",
+    "box_project_mu",
+]
+
+
+def _bisect_mu(sum_at, mu_lo, mu_hi, n_iter: int):
+    """Bisection for the root of the monotone-decreasing map mu -> sum_at(mu).
+
+    ``sum_at(mu_lo) >= 0 >= sum_at(mu_hi)`` must hold for the initial bracket.
+    Returns the midpoint after ``n_iter`` halvings.  All shapes are (batch, 1).
+    """
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        s = sum_at(mid)
+        # s > 0 -> root is above mid; s < 0 -> root is below mid.
+        lo = jnp.where(s > 0, mid, lo)
+        hi = jnp.where(s < 0, mid, hi)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, n_iter, body, (mu_lo, mu_hi))
+    return 0.5 * (lo + hi)
+
+
+# ---------------------------------------------------------------------------
+# Lower-bound-only cone projection:  {v : sum(v) = 0, v >= lower}
+# (the QP inside every ODE RHS evaluation; reference
+#  barrier_projection.py:217-313, used at dynamics/classification.py:114)
+# ---------------------------------------------------------------------------
+
+
+def cone_project_mu(lower, nominal, n_iter: int = 30):
+    """Return the dual optimum mu for the no-upper projection (no grad)."""
+    mu_hi = jnp.max(nominal - lower, axis=-1, keepdims=True)
+    mu_lo = jnp.min(nominal, axis=-1, keepdims=True)
+
+    def sum_at(mu):
+        return jnp.sum(jnp.maximum(nominal - mu, lower), axis=-1, keepdims=True)
+
+    return _bisect_mu(sum_at, mu_lo, mu_hi, n_iter)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def simplex_cone_project(lower, nominal, n_iter: int = 30):
+    """Project ``nominal`` onto {v : sum(v)=0, v >= lower}.
+
+    Args:
+      lower:   (..., n) elementwise lower bound (must admit sum(lower) <= 0).
+      nominal: (..., n) point to project.
+      n_iter:  bisection iterations (static).
+
+    Returns:
+      (..., n) projected velocity v*.
+    """
+    mu = cone_project_mu(lower, nominal, n_iter)
+    return jnp.maximum(nominal - mu, lower)
+
+
+def _cone_fwd(lower, nominal, n_iter):
+    mu = cone_project_mu(lower, nominal, n_iter)
+    v = jnp.maximum(nominal - mu, lower)
+    return v, (v, mu, lower, nominal)
+
+
+def _cone_bwd(n_iter, res, g):
+    v, mu, lower, nominal = res
+    # Active set = the branch the clamp took.  (Equivalent to the KKT
+    # multiplier sign lambda = v - nominal + mu > 0 used by the reference at
+    # :288-292, but numerically robust: computing lambda via v suffers
+    # catastrophic cancellation on free coordinates, whose lambda is a
+    # rounding residual of random sign.)
+    lower_active = (nominal - mu) < lower
+    free = ~lower_active
+    n_free = jnp.sum(free, axis=-1, keepdims=True).astype(g.dtype)
+    n_free = jnp.maximum(n_free, 1.0)
+    g_free_sum = jnp.sum(jnp.where(free, g, 0.0), axis=-1, keepdims=True)
+    correction = g_free_sum / n_free
+    # d/dnominal: free rows couple through the shared mu shift.
+    d_nominal = jnp.where(free, g - correction, 0.0)
+    # d/dlower: active rows take the bound, and push mu onto the free rows.
+    d_lower = jnp.where(lower_active, g - correction, 0.0)
+    return d_lower, d_nominal
+
+
+simplex_cone_project.defvjp(_cone_fwd, _cone_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Two-sided box projection:  {v : sum(v) = 0, lower <= v <= upper}
+# (used by verification interval propagation; reference
+#  barrier_projection.py:108-214, used at dynamics/classification.py:233-237)
+# ---------------------------------------------------------------------------
+
+
+def box_project_mu(lower, upper, nominal, n_iter: int = 30):
+    """Return the dual optimum mu for the two-sided projection (no grad)."""
+    mu_hi = jnp.max(nominal - lower, axis=-1, keepdims=True)
+    mu_lo = jnp.min(nominal - upper, axis=-1, keepdims=True)
+
+    def sum_at(mu):
+        return jnp.sum(
+            jnp.clip(nominal - mu, lower, upper), axis=-1, keepdims=True
+        )
+
+    return _bisect_mu(sum_at, mu_lo, mu_hi, n_iter)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def simplex_box_project(lower, upper, nominal, n_iter: int = 30):
+    """Project ``nominal`` onto {v : sum(v)=0, lower <= v <= upper}."""
+    mu = box_project_mu(lower, upper, nominal, n_iter)
+    return jnp.clip(nominal - mu, lower, upper)
+
+
+def _box_fwd(lower, upper, nominal, n_iter):
+    mu = box_project_mu(lower, upper, nominal, n_iter)
+    v = jnp.clip(nominal - mu, lower, upper)
+    return v, (v, mu, lower, upper, nominal)
+
+
+def _box_bwd(n_iter, res, g):
+    v, mu, lower, upper, nominal = res
+    # Branch-taken active sets (see _cone_bwd for why not lambda signs).
+    lower_active = (nominal - mu) < lower
+    upper_active = (nominal - mu) > upper
+    free = ~(lower_active | upper_active)
+
+    def masked_correction(mask):
+        cnt = jnp.maximum(
+            jnp.sum(mask, axis=-1, keepdims=True).astype(g.dtype), 1.0
+        )
+        return jnp.sum(jnp.where(mask, g, 0.0), axis=-1, keepdims=True) / cnt
+
+    # Reference uses |not lower_active| / |not upper_active| / |free|
+    # cardinalities for the three blocks respectively (:178,196-209).
+    corr_free = masked_correction(free)
+    corr_not_lower = masked_correction(~lower_active)
+    corr_not_upper = masked_correction(~upper_active)
+
+    d_nominal = jnp.where(free, g - corr_free, 0.0)
+    d_lower = jnp.where(lower_active, g - corr_not_lower, 0.0)
+    d_upper = jnp.where(upper_active, g - corr_not_upper, 0.0)
+    return d_lower, d_upper, d_nominal
+
+
+simplex_box_project.defvjp(_box_fwd, _box_bwd)

@@ -1,0 +1,162 @@
+"""Oracles for the simplex-cone projection QP.
+
+Feasibility, optimality (exact bisection oracle), and gradcheck of the
+closed-form active-set VJP against finite differences — the test strategy
+derived from the reference's own diagnostics (residual warnings in
+barrier_projection.py:264-266 and the KKT backward at :272-311).
+
+Everything is jitted once and reused: on this host eager dispatch triggers a
+fresh XLA compile per call, so tests must stay inside a handful of
+compilations.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fiode_tpu.ops.simplex_qp import (
+    simplex_cone_project,
+    simplex_box_project,
+)
+
+N = 6
+
+
+def exact_cone_project(lower, nominal):
+    """Exact solution via long-running numpy bisection (oracle)."""
+    out = np.zeros_like(nominal)
+    for b in range(nominal.shape[0]):
+        nom, low = nominal[b], lower[b]
+        lo, hi = np.min(nom) - 1.0, np.max(nom - low) + 1.0
+        for _ in range(200):
+            mid = 0.5 * (lo + hi)
+            if np.sum(np.maximum(nom - mid, low)) > 0:
+                lo = mid
+            else:
+                hi = mid
+        mu = 0.5 * (lo + hi)
+        out[b] = np.maximum(nom - mu, low)
+    return out
+
+
+def make_problem(rng, batch=16, n=N, alpha_1=100.0, sigma_1=0.02):
+    h = rng.exponential(size=(batch, n))
+    h = h / h.sum(-1, keepdims=True)
+    lower = -alpha_1 * (np.exp(sigma_1 * h) - 1.0)
+    nominal = rng.normal(size=(batch, n)).astype(np.float32)
+    return lower.astype(np.float32), nominal.astype(np.float32)
+
+
+_cone = jax.jit(lambda l, n: simplex_cone_project(l, n))
+_box = jax.jit(lambda l, u, n: simplex_box_project(l, u, n))
+
+_w = jnp.arange(1.0, N + 1.0)
+
+
+@jax.jit
+def _cone_loss(low, nom):
+    v = simplex_cone_project(low, nom, 40)
+    return jnp.sum(jnp.sin(v) * _w)
+
+
+_cone_grad = jax.jit(jax.grad(_cone_loss, argnums=(0, 1)))
+
+
+@jax.jit
+def _box_loss(low, up, nom):
+    v = simplex_box_project(low, up, nom, 40)
+    return jnp.sum(jnp.cos(v) * _w)
+
+
+_box_grad = jax.jit(jax.grad(_box_loss, argnums=(0, 1, 2)))
+
+
+class TestConeProjection:
+    def test_feasibility_optimality_idempotence(self):
+        rng = np.random.default_rng(0)
+        lower, nominal = make_problem(rng, batch=64)
+        v = np.asarray(_cone(lower, nominal))
+        np.testing.assert_allclose(v.sum(-1), 0.0, atol=2e-4)
+        assert np.all(v >= lower - 1e-6)
+        v_exact = exact_cone_project(lower, nominal)
+        np.testing.assert_allclose(v, v_exact, atol=5e-4)
+        # idempotence: a feasible point projects to itself
+        v2 = np.asarray(_cone(lower, v))
+        np.testing.assert_allclose(v, v2, atol=5e-4)
+
+    def test_vjp_matches_finite_differences(self):
+        rng = np.random.default_rng(3)
+        lower, nominal = make_problem(rng, batch=6)
+        g_low, g_nom = _cone_grad(lower, nominal)
+        eps, rtol = 1e-3, 0.08
+        for arg in (0, 1):
+            target = [lower, nominal][arg]
+            g = [g_low, g_nom][arg]
+            for _ in range(10):
+                i = rng.integers(target.shape[0])
+                j = rng.integers(target.shape[1])
+                d = np.zeros_like(target)
+                d[i, j] = eps
+                args_p = [lower, nominal]
+                args_m = [lower, nominal]
+                args_p[arg] = target + d
+                args_m[arg] = target - d
+                fd = (_cone_loss(*args_p) - _cone_loss(*args_m)) / (2 * eps)
+                an = g[i, j]
+                assert abs(fd - an) <= rtol * max(1.0, abs(fd)), (
+                    f"arg{arg}[{i},{j}]: fd={fd:.5f} analytic={an:.5f}"
+                )
+
+    def test_jvp_of_outer_fn_with_projected_tangent(self):
+        # the v_ndot pattern: jvp of V along the projected dynamics must be
+        # differentiable wrt parameters feeding the tangent
+        rng = np.random.default_rng(4)
+        lower, nominal = make_problem(rng, batch=4)
+
+        @jax.jit
+        @jax.grad
+        def gfun(w):
+            f = simplex_cone_project(lower, nominal * w)
+            h = jnp.asarray(nominal)
+            _, vdot = jax.jvp(lambda h_: jnp.sum(h_ ** 2), (h,), (f,))
+            return vdot
+
+        g = gfun(jnp.ones((N,)))
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestBoxProjection:
+    def test_feasibility_and_optimality(self):
+        rng = np.random.default_rng(6)
+        lower, nominal = make_problem(rng, batch=32)
+        h = -lower / 100.0
+        upper = (20.0 * (1.0 - h)).astype(np.float32)
+        v = np.asarray(_box(lower, upper, nominal))
+        np.testing.assert_allclose(v.sum(-1), 0.0, atol=2e-4)
+        assert np.all(v >= lower - 1e-6)
+        assert np.all(v <= upper + 1e-6)
+        v2 = np.asarray(_box(lower, upper, v))
+        np.testing.assert_allclose(v, v2, atol=5e-4)
+
+    def test_vjp_matches_finite_differences(self):
+        rng = np.random.default_rng(7)
+        lower, nominal = make_problem(rng, batch=5)
+        h = -lower / 100.0
+        upper = (5.0 * (1.0 - h)).astype(np.float32)
+        grads = _box_grad(lower, upper, nominal)
+        eps, rtol = 1e-3, 0.08
+        args0 = [lower, upper, nominal]
+        for arg in range(3):
+            for _ in range(6):
+                i = rng.integers(lower.shape[0])
+                j = rng.integers(lower.shape[1])
+                d = np.zeros_like(args0[arg])
+                d[i, j] = eps
+                ap = list(args0)
+                am = list(args0)
+                ap[arg] = args0[arg] + d
+                am[arg] = args0[arg] - d
+                fd = (_box_loss(*ap) - _box_loss(*am)) / (2 * eps)
+                an = grads[arg][i, j]
+                assert abs(fd - an) <= rtol * max(1.0, abs(fd)), (
+                    f"arg{arg}[{i},{j}]: fd={fd:.5f} analytic={an:.5f}"
+                )

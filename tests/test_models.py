@@ -1,0 +1,152 @@
+"""Model-layer oracles: orthogonality of Cayley layers, backbone shapes,
+simplex forward invariance of the projected dynamics (SURVEY.md §4)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fiode_tpu.models.backbones import KWLargeBackbone, PlainCNNBackbone
+from fiode_tpu.models.dynamics import SimplexDynamics, densify_dynamics_params
+from fiode_tpu.models.ivp import NeuralODEClassifier
+from fiode_tpu.models.layers import CayleyConv, CayleyLinear
+from fiode_tpu.ops.cayley import cayley
+
+
+class TestCayley:
+    def test_dense_square_orthogonal(self):
+        W = jax.random.normal(jax.random.PRNGKey(0), (16, 16))
+        Q = np.asarray(jax.jit(cayley)(W))
+        np.testing.assert_allclose(Q @ Q.T, np.eye(16), atol=1e-5)
+
+    def test_dense_tall_semi_orthogonal(self):
+        W = jax.random.normal(jax.random.PRNGKey(1), (24, 8))
+        Q = np.asarray(jax.jit(cayley)(W))
+        np.testing.assert_allclose(Q.T @ Q, np.eye(8), atol=1e-5)
+
+    def test_cayley_linear_norm_preserving(self):
+        layer = CayleyLinear(32, use_bias=False)
+        x = jax.random.normal(jax.random.PRNGKey(2), (4, 32))
+        p = layer.init(jax.random.PRNGKey(3), x)
+        y = jax.jit(layer.apply)(p, x)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(y), axis=-1),
+            np.linalg.norm(np.asarray(x), axis=-1),
+            rtol=1e-4,
+        )
+
+    def test_cayley_conv_norm_preserving(self):
+        layer = CayleyConv(8, 3, use_bias=False)
+        x = jax.random.normal(jax.random.PRNGKey(4), (2, 8, 16, 16))
+        p = layer.init(jax.random.PRNGKey(5), x)
+        y = jax.jit(layer.apply)(p, x)
+        nx = np.linalg.norm(np.asarray(x).reshape(2, -1), axis=-1)
+        ny = np.linalg.norm(np.asarray(y).reshape(2, -1), axis=-1)
+        np.testing.assert_allclose(ny, nx, rtol=1e-4)
+
+    def test_cayley_conv_stride2_nonexpansive(self):
+        layer = CayleyConv(32, 4, stride=2, use_bias=False)
+        x = jax.random.normal(jax.random.PRNGKey(6), (2, 8, 16, 16))
+        p = layer.init(jax.random.PRNGKey(7), x)
+        y = jax.jit(layer.apply)(p, x)
+        assert y.shape == (2, 32, 8, 8)
+        nx = np.linalg.norm(np.asarray(x).reshape(2, -1), axis=-1)
+        ny = np.linalg.norm(np.asarray(y).reshape(2, -1), axis=-1)
+        assert np.all(ny <= nx * (1 + 1e-4))
+
+
+class TestBackbones:
+    def test_kwlarge_cifar_shape(self):
+        m = KWLargeBackbone(out_dim=10, mu=(0.5, 0.5, 0.5), std=(0.2, 0.2, 0.2))
+        x = jnp.zeros((2, 3, 32, 32))
+        p = m.init(jax.random.PRNGKey(0), x)
+        y = jax.jit(m.apply)(p, x)
+        assert y.shape == (2, 10)
+
+    def test_kwlarge_mnist_shape(self):
+        m = KWLargeBackbone(out_dim=10, mu=(0.1307,), std=(0.3081,))
+        x = jnp.zeros((2, 1, 28, 28))
+        p = m.init(jax.random.PRNGKey(0), x)
+        y = jax.jit(m.apply)(p, x)
+        assert y.shape == (2, 10)
+
+    def test_plain_cnn_shapes(self):
+        for arch in ("4C3F", "6C2F"):
+            m = PlainCNNBackbone(arch=arch, out_dim=10,
+                                 mu=(0.5,) * 3, std=(0.2,) * 3)
+            x = jnp.zeros((2, 3, 32, 32))
+            p = m.init(jax.random.PRNGKey(0), x)
+            y = jax.jit(m.apply)(p, x)
+            assert y.shape == (2, 10)
+
+
+def make_tiny_model(n=3, x_dim=4):
+    dyn = SimplexDynamics(
+        n_hidden=n, mlp_size=16, x_dim=x_dim, alpha_1=100.0, alpha_2=20.0,
+        sigma_1=0.02, dropout=0.0, cayley=True,
+    )
+    model = NeuralODEClassifier(
+        backbone=None, dynamics=dyn, n_classes=n, t_max=1.0,
+    )
+    x = jax.random.uniform(jax.random.PRNGKey(0), (5, x_dim))
+    params = model.init(jax.random.PRNGKey(1), x)
+    return model, params, x
+
+
+class TestDynamics:
+    def test_projected_dot_is_tangent(self):
+        model, params, x = make_tiny_model()
+        h = model.h0(x.shape[0])
+        f = jax.jit(lambda p, h, x: model.eval_dot(p, h, x))(params, h, x)
+        # tangent to the simplex: components sum to zero
+        np.testing.assert_allclose(np.asarray(f).sum(-1), 0.0, atol=1e-4)
+
+    def test_forward_invariance(self):
+        model, params, x = make_tiny_model()
+        traj = jax.jit(lambda p, x: model.trajectory(p, x, n_points=20))(
+            params, x
+        )
+        t = np.asarray(traj)
+        np.testing.assert_allclose(t.sum(-1), 1.0, atol=5e-3)
+        assert t.min() >= -5e-3, f"left the simplex: min={t.min()}"
+
+    def test_predict_shape_and_simplex(self):
+        model, params, x = make_tiny_model()
+        probs = jax.jit(lambda p, x: model.predict(p, x))(params, x)
+        assert probs.shape == (5, 3)
+        np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, atol=1e-3)
+
+    def test_densify_matches_cayley_raw(self):
+        model, params, x = make_tiny_model()
+        h = model.h0(x.shape[0])
+        raw = jax.jit(lambda p, h, x: model.raw_dot(p, h, x))(params, h, x)
+        dense = densify_dynamics_params(params["dynamics"])
+
+        def dense_raw(h, x):
+            z = h @ dense["hidden_to_mlp"]["kernel"].T + dense["hidden_to_mlp"]["bias"]
+            z = z + x @ dense["U_x"]["kernel"].T + dense["U_x"]["bias"]
+            z = jax.nn.relu(z)
+            z = z @ dense["mlp_to_mlp"]["kernel"].T + dense["mlp_to_mlp"]["bias"]
+            z = jax.nn.relu(z)
+            z = z @ dense["mlp_to_hidden"]["kernel"].T + dense["mlp_to_hidden"]["bias"]
+            return z
+
+        np.testing.assert_allclose(
+            np.asarray(raw), np.asarray(jax.jit(dense_raw)(h, x)), atol=1e-5
+        )
+
+    def test_scan_mode_training_gradient(self):
+        model, params, x = make_tiny_model()
+        y = jnp.asarray([0, 1, 2, 0, 1])
+
+        @jax.jit
+        def loss(params):
+            sol = model.solve(params, x, mode="scan")
+            probs = sol.ys[-1]
+            return -jnp.mean(
+                jnp.log(jnp.clip(probs[jnp.arange(5), y], 1e-12))
+            )
+
+        g = jax.grad(loss)(params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+        assert any(float(jnp.abs(l).max()) > 0 for l in leaves)

@@ -110,6 +110,24 @@ class PlainCNNBackbone(nn.Module):
         return x
 
 
+class TinyMLPBackbone(nn.Module):
+    """Small flatten->MLP feature map (tests / fast CPU experiments; not in
+    the reference zoo)."""
+
+    out_dim: int = 10
+    hidden: int = 64
+    mu: Sequence[float] = (0.0,)
+    std: Sequence[float] = (1.0,)
+
+    @nn.compact
+    def __call__(self, x):
+        x = Normalize(self.mu, self.std)(x)
+        x = x.reshape(x.shape[0], -1)
+        x = nn.relu(LipsLinear(self.hidden)(x))
+        x = LipsLinear(self.out_dim)(x)
+        return x
+
+
 def make_backbone(name: str, *, out_dim: int, act: str, mu, std) -> nn.Module:
     """Factory matching the reference's param_map registry
     (ExpConfig.py:107-162): ORTHO_KWLarge_Concat, ORTHO_KWLargeMNIST_Concat,
@@ -121,4 +139,6 @@ def make_backbone(name: str, *, out_dim: int, act: str, mu, std) -> nn.Module:
         return PlainCNNBackbone(arch="4C3F", out_dim=out_dim, act=act, mu=mu, std=std)
     if name == "CIFAR_6C2F":
         return PlainCNNBackbone(arch="6C2F", out_dim=out_dim, act=act, mu=mu, std=std)
+    if name == "TinyMLP":
+        return TinyMLPBackbone(out_dim=out_dim, mu=mu, std=std)
     raise ValueError(f"unknown backbone {name!r}")

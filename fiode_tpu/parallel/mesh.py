@@ -1,0 +1,46 @@
+"""Device mesh and sharding helpers.
+
+The reference's only distributed strategy is single-node data parallelism
+(PyTorch-Lightning DDP over NCCL, sl_pipeline.py:163-165).  The TPU-native
+equivalent: a 1-D ``data`` mesh over the slice, batches sharded along it,
+parameters replicated, gradients/metrics mean-reduced by XLA all-reduce over
+ICI — all emitted automatically by jit from the shardings below.
+
+For the tiny FI-ODE models no tensor/pipeline parallelism is warranted
+(SURVEY.md §2.5); the long axes worth sharding are the batch, the h-sample
+axis (folded into batch) and the verification grid (verify/ shards cells the
+same way).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "shard_batch", "replicate", "data_sharding"]
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def data_sharding(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:
+    """Shard dim 0 over the data axis, replicate the rest."""
+    return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    """device_put each array in the pytree with dim-0 sharding."""
+    return jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, data_sharding(mesh, a.ndim, axis)), batch
+    )
+
+
+def replicate(mesh: Mesh, tree):
+    sh = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), tree)

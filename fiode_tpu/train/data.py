@@ -1,0 +1,214 @@
+"""Dataset pipeline: MNIST / FashionMNIST / CIFAR-10 / CIFAR-3.
+
+Rebuild of dataset_loaders.py:18-136 without torchvision:
+  * readers for the standard on-disk formats (MNIST idx / idx.gz,
+    CIFAR-10 python pickle batches or binary batches) under ``data_root``;
+  * a deterministic synthetic fallback (clearly flagged) so training,
+    tests and benchmarks run in this zero-egress environment;
+  * the reference's split conventions: MNIST/FashionMNIST random 90/10
+    train/val split; CIFAR val == test set (:66-94);
+  * augmentation — random crop with 4-pixel padding + horizontal flip —
+    applied on-device in the jitted train step (see ``augment_batch``), not
+    in host worker processes: the TPU-native replacement for the reference's
+    torchvision transform + DataLoader-worker pipeline;
+  * no normalisation here — it lives inside the model (models/layers.py
+    Normalize) so attacks/certification act in [0,1] pixel space.
+
+Images are NCHW float32 in [0,1]; the whole dataset is held in host RAM
+(60k x 3 x 32 x 32 floats = 0.7 GB) and minibatches are device_put with the
+data-parallel sharding by the trainer.
+"""
+from __future__ import annotations
+
+import dataclasses
+import gzip
+import os
+import pickle
+import struct
+from pathlib import Path
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["Dataset", "load_dataset", "augment_batch", "DATASET_INFO"]
+
+DATASET_INFO = {
+    # name: (channels, size, n_classes, mu, std)
+    "MNIST": (1, 28, 10, (0.1307,), (0.3081,)),
+    "FashionMNIST": (1, 28, 10, (0.5,), (0.5,)),
+    "CIFAR10": (3, 32, 10, (0.485, 0.456, 0.406), (0.225, 0.225, 0.225)),
+    "CIFAR3": (3, 32, 3, (0.485, 0.456, 0.406), (0.225, 0.225, 0.225)),
+}
+
+
+@dataclasses.dataclass
+class Dataset:
+    name: str
+    train_x: np.ndarray  # (N, C, H, W) float32 in [0,1]
+    train_y: np.ndarray  # (N,) int32
+    val_x: np.ndarray
+    val_y: np.ndarray
+    test_x: np.ndarray
+    test_y: np.ndarray
+    n_classes: int
+    synthetic: bool = False
+
+    @property
+    def image_shape(self):
+        return self.train_x.shape[1:]
+
+
+def _read_idx(path: Path) -> np.ndarray:
+    opener = gzip.open if path.suffix == ".gz" else open
+    with opener(path, "rb") as fh:
+        magic = struct.unpack(">I", fh.read(4))[0]
+        ndim = magic & 0xFF
+        dims = struct.unpack(">" + "I" * ndim, fh.read(4 * ndim))
+        data = np.frombuffer(fh.read(), dtype=np.uint8)
+    return data.reshape(dims)
+
+
+def _find(root: Path, names) -> Optional[Path]:
+    for n in names:
+        for cand in (root / n, root / (n + ".gz")):
+            if cand.exists():
+                return cand
+    return None
+
+
+def _load_mnist_like(root: Path, prefix: str):
+    files = {
+        "train_x": [f"{prefix}train-images-idx3-ubyte", "train-images.idx3-ubyte"],
+        "train_y": [f"{prefix}train-labels-idx1-ubyte", "train-labels.idx1-ubyte"],
+        "test_x": [f"{prefix}t10k-images-idx3-ubyte", "t10k-images.idx3-ubyte"],
+        "test_y": [f"{prefix}t10k-labels-idx1-ubyte", "t10k-labels.idx1-ubyte"],
+    }
+    out = {}
+    for k, names in files.items():
+        p = _find(root, names)
+        if p is None:
+            return None
+        out[k] = _read_idx(p)
+    tx = out["train_x"].astype(np.float32)[:, None] / 255.0
+    ty = out["train_y"].astype(np.int32)
+    sx = out["test_x"].astype(np.float32)[:, None] / 255.0
+    sy = out["test_y"].astype(np.int32)
+    return tx, ty, sx, sy
+
+
+def _load_cifar10(root: Path):
+    pydir = root / "cifar-10-batches-py"
+    if pydir.exists():
+        xs, ys = [], []
+        for i in range(1, 6):
+            with open(pydir / f"data_batch_{i}", "rb") as fh:
+                d = pickle.load(fh, encoding="bytes")
+            xs.append(d[b"data"])
+            ys.append(d[b"labels"])
+        with open(pydir / "test_batch", "rb") as fh:
+            d = pickle.load(fh, encoding="bytes")
+        tx = np.concatenate(xs).reshape(-1, 3, 32, 32).astype(np.float32) / 255.0
+        ty = np.concatenate(ys).astype(np.int32)
+        sx = d[b"data"].reshape(-1, 3, 32, 32).astype(np.float32) / 255.0
+        sy = np.asarray(d[b"labels"], np.int32)
+        return tx, ty, sx, sy
+    bindir = root / "cifar-10-batches-bin"
+    if bindir.exists():
+        def read_bin(p):
+            raw = np.fromfile(p, dtype=np.uint8).reshape(-1, 3073)
+            return (
+                raw[:, 1:].reshape(-1, 3, 32, 32).astype(np.float32) / 255.0,
+                raw[:, 0].astype(np.int32),
+            )
+
+        xs, ys = zip(*(read_bin(bindir / f"data_batch_{i}.bin") for i in range(1, 6)))
+        sx, sy = read_bin(bindir / "test_batch.bin")
+        return np.concatenate(xs), np.concatenate(ys), sx, sy
+    return None
+
+
+def _synthetic(name: str, n_train=512, n_test=256, seed=0):
+    """Deterministic class-structured fake data (per-class gaussian blobs)."""
+    c, hw, ncls, _, _ = DATASET_INFO[name]
+    rng = np.random.default_rng(seed)
+    protos = rng.uniform(0.2, 0.8, size=(ncls, c, hw, hw)).astype(np.float32)
+
+    def make(n, s):
+        r = np.random.default_rng(s)
+        y = r.integers(0, ncls, size=n).astype(np.int32)
+        x = protos[y] + 0.1 * r.standard_normal((n, c, hw, hw)).astype(np.float32)
+        return np.clip(x, 0.0, 1.0), y
+
+    tx, ty = make(n_train, seed + 1)
+    sx, sy = make(n_test, seed + 2)
+    return tx, ty, sx, sy
+
+
+def load_dataset(
+    name: str,
+    data_root: str = "data",
+    val_fraction: float = 0.1,
+    seed: int = 0,
+    allow_synthetic: bool = True,
+) -> Dataset:
+    root = Path(data_root)
+    raw = None
+    synthetic = False
+    if name in ("MNIST", "FashionMNIST"):
+        sub = root / name
+        for r in (sub, sub / "raw", root):
+            raw = _load_mnist_like(r, "")
+            if raw is not None:
+                break
+    elif name in ("CIFAR10", "CIFAR3"):
+        raw = _load_cifar10(root)
+    else:
+        raise ValueError(f"unknown dataset {name!r}")
+
+    if raw is None:
+        if not allow_synthetic:
+            raise FileNotFoundError(f"no {name} files under {root}")
+        raw = _synthetic(name)
+        synthetic = True
+    tx, ty, sx, sy = raw
+
+    n_classes = DATASET_INFO[name][2]
+    if name == "CIFAR3":
+        keep = ty < 3
+        tx, ty = tx[keep], ty[keep]
+        keep = sy < 3
+        sx, sy = sx[keep], sy[keep]
+
+    if name in ("MNIST", "FashionMNIST"):
+        # random 90/10 split (dataset_loaders.py:36-40)
+        rng = np.random.default_rng(seed)
+        idx = rng.permutation(len(tx))
+        n_val = int(val_fraction * len(tx))
+        val_idx, train_idx = idx[:n_val], idx[n_val:]
+        vx, vy = tx[val_idx], ty[val_idx]
+        tx, ty = tx[train_idx], ty[train_idx]
+    else:
+        # CIFAR: validation == test set (dataset_loaders.py:92-94)
+        vx, vy = sx, sy
+
+    return Dataset(name, tx, ty, vx, vy, sx, sy, n_classes, synthetic)
+
+
+def augment_batch(key, x):
+    """Random crop (pad 4, reflect of zeros as in torchvision default) +
+    horizontal flip, fully on-device (vectorised gather, no host loop)."""
+    B, C, H, W = x.shape
+    kc, kf = jax.random.split(key)
+    pad = 4
+    xp = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad)))
+    off = jax.random.randint(kc, (B, 2), 0, 2 * pad + 1)
+    rows = off[:, 0:1, None] + jnp.arange(H)[None, :, None]  # (B,H,1)
+    cols = off[:, 1:2, None] + jnp.arange(W)[None, None, :]  # (B,1,W)
+    batch_idx = jnp.arange(B)[:, None, None]
+    cropped = xp[batch_idx, :, rows, cols]  # (B,H,W,C)
+    cropped = jnp.moveaxis(cropped, -1, 1)
+    flip = jax.random.bernoulli(kf, 0.5, (B,))
+    flipped = jnp.where(flip[:, None, None, None], cropped[..., ::-1], cropped)
+    return flipped

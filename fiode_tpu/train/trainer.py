@@ -1,0 +1,434 @@
+"""Lyapunov certified training: sharded train step, optimizers, fit loop.
+
+Rebuild of the reference's training stack — LightningModules
+(pl_modules.py:68-523) + SLExperiment/Trainer (sl_pipeline.py:130-264) — as
+a functional JAX trainer:
+
+  * one jitted ``train_step`` holding the entire hot path (backbone forward,
+    sampler draw, jvp Lyapunov loss, optimizer update) — batch sharded over a
+    1-D data mesh, params replicated, gradients mean-reduced over ICI by XLA;
+  * optimizers: Adam / AdamW / SGD (+momentum), torch-style L2 weight decay,
+    cosine-annealing or multistep LR per epoch, and the reference's
+    warmup-epoch optimizer swap (pl_modules.py:139-147,160-164);
+  * kappa annealing / Lipschitz-aware kappa, scale_nominal auto-off at
+    ``epoch_off_scale`` (pl_modules.py:391-393), optional blended ODE CE loss
+    after ``train_ode_epoch`` (pl_modules.py:490-502);
+  * PGD adversarial training on the Lyapunov objective itself
+    (pl_modules.py:149-158,170-176) and PGD-5 validation attacks
+    (pl_modules.py:185-220);
+  * epoch timing (the reference's TimingCallback, sl_pipeline.py:100-127),
+    JSONL metrics, orbax best/last checkpoints monitored on
+    validation_(adv_)error (sl_pipeline.py:143-154).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..attacks.pgd import pgd_attack
+from ..models.ivp import NeuralODEClassifier
+from ..parallel.mesh import data_sharding, make_mesh, replicate, shard_batch
+from ..utils.checkpoint import CheckpointManager
+from ..utils.logging import MetricWriter
+from .data import Dataset, augment_batch
+from .lyapunov import anneal_kappa, get_lya_candidate, lyapunov_loss
+from .samplers import composite_sample
+from .schedulers import CompositeSamplerScheduler
+
+__all__ = ["TrainConfig", "LyapunovTrainer"]
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    # optimisation (reference GeneralModule node, ExpConfig.py:198-216)
+    opt_name: str = "Adam"
+    lr: float = 5e-3
+    momentum: float = 0.9
+    weight_decay: float = 0.0
+    beta1: float = 0.9
+    beta2: float = 0.999
+    scheduler_name: str = "cos_anneal"  # 'cos_anneal' | 'step' | 'none'
+    decay_epochs: Sequence[int] = (90, 120, 150)
+    max_epochs: int = 300
+    warmup: int = -1  # epochs of the warmup Adam(1e-3, wd 5e-4); -1 = off
+    fix_backbone: bool = False
+    # data
+    batch_size: int = 128
+    val_batch_size: int = 256
+    augment: bool = True
+    # lyapunov (reference Lyapunov node, ExpConfig.py:240-256)
+    h_sample_size: int = 256
+    h_dist_lim: float = 15.0
+    act: str = "relu"
+    lya_cand: str = "DecisionBoundary"
+    lya_log_mode: bool = False
+    sampler_names: Sequence[str] = ("UniformSimplexSampling", "CorrectConeSampling")
+    barrier_loss: bool = False
+    relax_exp_stable: bool = False
+    scale_l_eps: float = 3.0
+    lips_train: bool = False
+    lips_warmup: int = 0
+    epoch_off_scale: int = 10
+    train_ode: bool = False
+    train_ode_epoch: int = 100
+    # adversarial
+    adv_train: bool = False
+    val_adv: bool = False
+    eps: float = 36 / 255
+    norm: str = "L2"
+    # misc
+    seed: int = 0
+    log_every: int = 20
+    simplex: bool = True
+
+
+class LyapunovTrainer:
+    def __init__(
+        self,
+        model: NeuralODEClassifier,
+        cfg: TrainConfig,
+        dataset: Dataset,
+        scheduler: Optional[CompositeSamplerScheduler] = None,
+        run_dir: str = "run_data/default",
+        mesh=None,
+        writer: Optional[MetricWriter] = None,
+    ):
+        self.model = model
+        self.cfg = cfg
+        self.ds = dataset
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.scheduler = scheduler
+        self.writer = writer or MetricWriter(run_dir, config=dataclasses.asdict(cfg))
+        monitor = "validation_adv_error" if cfg.val_adv else "validation_error"
+        self.ckpt = CheckpointManager(run_dir, monitor=monitor)
+        self.n = model.dynamics.n_hidden
+        self.lya = get_lya_candidate(
+            cfg.lya_cand, self.n, log_mode=cfg.lya_log_mode
+        )
+        self.steps_per_epoch = max(1, len(dataset.train_x) // cfg.batch_size)
+        self._build_optimizers()
+        self._train_step = self._make_train_step()
+        self._eval_step = self._make_eval_step()
+
+    # -- optimizers ----------------------------------------------------------
+
+    def _lr_schedule(self):
+        cfg = self.cfg
+        spe = self.steps_per_epoch
+
+        def sched(step):
+            epoch = step // spe
+            if cfg.scheduler_name == "cos_anneal":
+                return cfg.lr * 0.5 * (1.0 + jnp.cos(jnp.pi * epoch / cfg.max_epochs))
+            if cfg.scheduler_name == "step":
+                factor = jnp.asarray(1.0)
+                for m in cfg.decay_epochs:
+                    factor = jnp.where(epoch >= m, factor * 0.1, factor)
+                return cfg.lr * factor
+            return jnp.asarray(cfg.lr)
+
+        return sched
+
+    def _main_optimizer(self):
+        cfg = self.cfg
+        sched = self._lr_schedule()
+        if cfg.opt_name == "Adam":
+            core = optax.adam(sched, b1=cfg.beta1, b2=cfg.beta2)
+            tx = optax.chain(
+                optax.add_decayed_weights(cfg.weight_decay), core
+            ) if cfg.weight_decay else core
+        elif cfg.opt_name == "AdamW":
+            tx = optax.adamw(sched, b1=cfg.beta1, b2=cfg.beta2,
+                             weight_decay=cfg.weight_decay)
+        elif cfg.opt_name == "SGD":
+            core = optax.sgd(sched, momentum=cfg.momentum)
+            tx = optax.chain(
+                optax.add_decayed_weights(cfg.weight_decay), core
+            ) if cfg.weight_decay else core
+        else:
+            raise ValueError(cfg.opt_name)
+        if cfg.fix_backbone:
+            # train the dynamics only (reference SGD fix_backbone path,
+            # pl_modules.py:110-114)
+            def label(params):
+                return {k: ("train" if k == "dynamics" else "frozen")
+                        for k in params}
+
+            tx = optax.multi_transform(
+                {"train": tx, "frozen": optax.set_to_zero()}, label
+            )
+        return tx
+
+    def _build_optimizers(self):
+        self.warmup_tx = optax.chain(
+            optax.add_decayed_weights(5e-4), optax.adam(1e-3)
+        )
+        self.main_tx = self._main_optimizer()
+
+    # -- train step ----------------------------------------------------------
+
+    def _make_train_step(self):
+        cfg = self.cfg
+        model = self.model
+        lya = self.lya
+        sampler_names = tuple(cfg.sampler_names)
+        n = self.n
+        dyn = model.dynamics
+
+        def compute_loss(params, x, y, key, step, mixer, scale_nominal):
+            B = x.shape[0]
+            S = cfg.h_sample_size
+            k_samp, k_drop = jax.random.split(key)
+            feats = model.features(params, x)  # (B, d)
+            extra = {}
+            if "TrajectorySampler" in sampler_names:
+                extra = dict(model=model, params=params, x=x)
+            h = composite_sample(
+                k_samp, sampler_names, mixer, y, n, S,
+                h_dist_lim=cfg.h_dist_lim, **extra,
+            )  # (B, S, n)
+            h = jax.lax.stop_gradient(h.reshape(B * S, n))
+            x_in = jnp.repeat(feats, S, axis=0)  # (B*S, d)
+            y_in = jnp.repeat(y, S, axis=0)
+
+            f = model.eval_dot(
+                params, h, x_in, train=True, rng=k_drop,
+                scale_nominal=scale_nominal,
+            )
+            f_tilde = (
+                model.raw_dot(params, h, x_in) if cfg.barrier_loss else None
+            )
+            kappa = anneal_kappa(step, dyn.kappa, dyn.kappa_length)
+            loss, metrics = lyapunov_loss(
+                h=h, f=f, f_tilde=f_tilde, y=y_in, lya_cand=lya,
+                output_fn=model.output_fn, current_kappa=kappa,
+                alpha_1=dyn.alpha_1, alpha_2=dyn.alpha_2, act=cfg.act,
+                relax_exp_stable=cfg.relax_exp_stable,
+                scale_l_eps=cfg.scale_l_eps, eps=cfg.eps,
+                barrier_loss=cfg.barrier_loss,
+            )
+            return loss, metrics
+
+        def full_loss(params, x, y, key, step, mixer, scale_nominal, ode_portion):
+            loss, metrics = compute_loss(
+                params, x, y, key, step, mixer, scale_nominal
+            )
+            if cfg.train_ode:
+                # blended true-ODE CE loss (pl_modules.py:490-502); portion is
+                # 0 until train_ode_epoch then ramps to 0.98 over 50 epochs.
+                probs = model.output_fn(
+                    model.solve(params, x, mode="scan",
+                                scale_nominal=scale_nominal).ys[-1]
+                )
+                p_y = jnp.take_along_axis(probs, y[:, None], axis=-1)[:, 0]
+                loss_ode = -jnp.mean(jnp.log(jnp.clip(p_y, 1e-12)))
+                loss = loss * (1.0 - ode_portion) + loss_ode * ode_portion
+            return loss, metrics
+
+        @functools.partial(
+            jax.jit,
+            static_argnames=("scale_nominal", "use_warmup_tx"),
+            donate_argnums=(0, 1),
+        )
+        def train_step(params, opt_state, key, x, y, step, mixer,
+                       ode_portion, *, scale_nominal, use_warmup_tx):
+            k_aug, k_adv, k_loss = jax.random.split(key, 3)
+            if cfg.augment and self.ds.name.startswith("CIFAR"):
+                # crop+flip are CIFAR-only in the reference transforms
+                # (dataset_loaders.py:68-74 vs :19-23)
+                x = augment_batch(k_aug, x)
+            if cfg.adv_train:
+                # PGD on the Lyapunov objective itself (advertorch target
+                # compute_loss; pl_modules.py:149-158)
+                def adv_obj(xa):
+                    l, _ = compute_loss(
+                        params, xa, y, k_loss, step, mixer, scale_nominal
+                    )
+                    return l[None]
+
+                x = pgd_attack(
+                    adv_obj, x, k_adv, eps=cfg.eps, norm=cfg.norm, steps=7,
+                    step_size=2.5 * cfg.eps / 7,
+                )
+                x = jax.lax.stop_gradient(x)
+
+            (loss, metrics), grads = jax.value_and_grad(
+                full_loss, has_aux=True
+            )(params, x, y, k_loss, step, mixer, scale_nominal, ode_portion)
+            tx = self.warmup_tx if use_warmup_tx else self.main_tx
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, metrics._asdict()
+
+        return train_step
+
+    # -- eval ----------------------------------------------------------------
+
+    def _make_eval_step(self):
+        cfg = self.cfg
+        model = self.model
+
+        def predict(params, x):
+            return model.output_fn(model.solve(params, x, mode="while").ys[-1])
+
+        def predict_diff(params, x):
+            return model.output_fn(model.solve(params, x, mode="scan").ys[-1])
+
+        @jax.jit
+        def eval_step(params, key, x, y):
+            probs = predict(params, x)
+            err = jnp.mean((jnp.argmax(probs, -1) != y).astype(jnp.float32))
+            if cfg.simplex:
+                logp = jnp.log(jnp.clip(probs, 1e-12))
+                loss = -jnp.mean(
+                    jnp.take_along_axis(logp, y[:, None], axis=-1)
+                )
+            else:
+                loss = -jnp.mean(
+                    jax.nn.log_softmax(probs)[jnp.arange(y.shape[0]), y]
+                )
+            if cfg.val_adv:
+                # 5-step PGD on cross-entropy of the ODE solution
+                # (torchattacks PGD/PGDL2; pl_modules.py:191-199)
+                def ce(xa):
+                    p = predict_diff(params, xa)
+                    p_y = jnp.take_along_axis(
+                        jnp.clip(p, 1e-12), y[:, None], axis=-1
+                    )[:, 0]
+                    return -jnp.log(p_y)
+
+                x_adv = pgd_attack(
+                    ce, x, key, eps=cfg.eps, norm=cfg.norm, steps=5,
+                    step_size=2.5 * cfg.eps / 10,
+                )
+                probs_adv = predict(params, x_adv)
+                err_adv = jnp.mean(
+                    (jnp.argmax(probs_adv, -1) != y).astype(jnp.float32)
+                )
+            else:
+                err_adv = err
+            return {
+                "validation_loss": loss,
+                "validation_error": err,
+                "validation_adv_error": err_adv,
+                "simplex_min": jnp.min(probs),
+                "simplex_max": jnp.max(probs),
+            }
+
+        return eval_step
+
+    # -- loops ---------------------------------------------------------------
+
+    def _epoch_mixer(self, epoch: int) -> np.ndarray:
+        if self.scheduler is None:
+            k = len(self.cfg.sampler_names)
+            return np.full((k,), 1.0 / k, np.float32)
+        return np.asarray(
+            self.scheduler.get_mixer_coefficients(epoch), np.float32
+        )
+
+    def _ode_portion(self, epoch: int) -> float:
+        if not self.cfg.train_ode or epoch <= self.cfg.train_ode_epoch:
+            return 0.0
+        return min(0.98, (epoch - self.cfg.train_ode_epoch) / 50.0)
+
+    def _batches(self, rng: np.random.Generator, xs, ys, bs, drop_last=True):
+        idx = rng.permutation(len(xs))
+        n_full = len(xs) // bs
+        for i in range(n_full):
+            j = idx[i * bs : (i + 1) * bs]
+            yield xs[j], ys[j]
+
+    def fit(self, epochs: Optional[int] = None, eval_every: int = 1):
+        cfg = self.cfg
+        epochs = epochs if epochs is not None else cfg.max_epochs
+        rng_np = np.random.default_rng(cfg.seed)
+        key = jax.random.PRNGKey(cfg.seed)
+
+        x0 = jnp.asarray(self.ds.train_x[: cfg.batch_size])
+        params = self.model.init(jax.random.PRNGKey(cfg.seed), x0)
+        params = replicate(self.mesh, params)
+        use_warmup = cfg.warmup > 0
+        tx = self.warmup_tx if use_warmup else self.main_tx
+        opt_state = replicate(self.mesh, tx.init(params))
+
+        step = 0
+        for epoch in range(epochs):
+            if use_warmup and epoch == cfg.warmup:
+                # optimizer swap at the warmup boundary (pl_modules.py:160-164)
+                use_warmup = False
+                opt_state = replicate(self.mesh, self.main_tx.init(params))
+            scale_nominal = (
+                self.model.dynamics.scale_nominal
+                and epoch < cfg.epoch_off_scale
+            )
+            mixer = jnp.asarray(self._epoch_mixer(epoch))
+            ode_portion = jnp.asarray(self._ode_portion(epoch), jnp.float32)
+
+            t_epoch = time.time()
+            for bx, by in self._batches(
+                rng_np, self.ds.train_x, self.ds.train_y, cfg.batch_size
+            ):
+                key, k = jax.random.split(key)
+                batch = shard_batch(
+                    self.mesh, (jnp.asarray(bx), jnp.asarray(by))
+                )
+                params, opt_state, loss, metrics = self._train_step(
+                    params, opt_state, k, batch[0], batch[1],
+                    jnp.asarray(step), mixer, ode_portion,
+                    scale_nominal=bool(scale_nominal),
+                    use_warmup_tx=use_warmup,
+                )
+                if step % cfg.log_every == 0:
+                    m = {"training_loss": loss, **metrics}
+                    m.update(
+                        {f"mixing_weight_{i}": float(w)
+                         for i, w in enumerate(np.asarray(mixer))}
+                    )
+                    self.writer.log(m, step=step, epoch=epoch)
+                step += 1
+            train_time = time.time() - t_epoch
+
+            if (epoch + 1) % eval_every == 0 or epoch == epochs - 1:
+                t_val = time.time()
+                val = self.evaluate(params, key)
+                val["train_epoch_time"] = train_time
+                val["val_epoch_time"] = time.time() - t_val
+                self.writer.log(val, step=step, epoch=epoch)
+                self.writer.console(
+                    f"epoch {epoch}: loss={float(loss):.4f} "
+                    f"val_err={val['validation_error']:.4f} "
+                    f"adv_err={val['validation_adv_error']:.4f} "
+                    f"({train_time:.1f}s train)"
+                )
+                state = {"params": params, "step": step}
+                self.ckpt.maybe_save_best(state, val, step)
+                self.ckpt.save_last(state, val, step)
+        return params
+
+    def evaluate(self, params, key, split: str = "val", max_batches=None):
+        xs = getattr(self.ds, f"{split}_x")
+        ys = getattr(self.ds, f"{split}_y")
+        bs = self.cfg.val_batch_size
+        totals, count = None, 0
+        n_batches = max(1, len(xs) // bs)
+        if max_batches:
+            n_batches = min(n_batches, max_batches)
+        for i in range(n_batches):
+            bx = jnp.asarray(xs[i * bs : (i + 1) * bs])
+            by = jnp.asarray(ys[i * bs : (i + 1) * bs])
+            key, k = jax.random.split(key)
+            m = self._eval_step(params, k, bx, by)
+            m = {k_: float(v) for k_, v in m.items()}
+            totals = m if totals is None else {
+                k_: totals[k_] + m[k_] for k_ in m
+            }
+            count += 1
+        return {k_: v / count for k_, v in totals.items()}

@@ -1,0 +1,161 @@
+"""From-scratch CROWN / IBP linear bound propagation for ReLU MLPs.
+
+Replaces the reference's auto_LiRPA dependency for the graphs it actually
+bounds (SURVEY.md §2.3): the 3-linear / 2-ReLU two-input dynamics twin
+f(eta, x) = W3 relu(W2 relu(W1 eta + U x + b1) + b2) + b3
+(CrownOrthoClassDynProjectSimplexLips.forward, dynamics/classification.py:306-312)
+under an Linf perturbation of eta with x fixed
+(certify_crown.py:108-139, BoundedModule/BoundedTensor/PerturbationLpNorm).
+
+Everything is batched over grid cells (leading axis) — the backward passes
+are einsums that map straight onto the MXU, replacing the reference's
+image-outer/grid-inner Python loop with one vectorised sweep.
+
+Algorithm (standard CROWN):
+  * the first pre-activation is exact-affine in eta: interval = center ± eps|W1|1;
+  * deeper pre-activation bounds come from a backward pass from that layer;
+  * ReLU relaxation: unstable neurons get the chord upper line
+    u/(u-l)(z - l) and an adaptive lower line alpha z with
+    alpha = 1[u >= |l|]; stable neurons propagate exactly;
+  * concretisation over the eta box adds eps * |Lambda W1| 1.
+
+`ibp_forward` gives pure interval bounds (used as a soundness cross-check:
+CROWN must be at least as tight, and both must contain sampled values).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["crown_mlp_bounds", "ibp_mlp_bounds", "relu_relaxation"]
+
+
+def relu_relaxation(l, u):
+    """Per-neuron linear relaxation of ReLU on [l, u].
+
+    Returns (a_up, b_up, a_lo, b_lo):  a_up z + b_up >= relu(z) >= a_lo z + b_lo.
+    """
+    unstable = (l < 0) & (u > 0)
+    denom = jnp.where(unstable, u - l, 1.0)
+    a_up = jnp.where(unstable, u / denom, (l >= 0).astype(l.dtype))
+    b_up = jnp.where(unstable, -u * l / denom, 0.0)
+    a_lo = jnp.where(
+        unstable, (u >= -l).astype(l.dtype), (l >= 0).astype(l.dtype)
+    )
+    b_lo = jnp.zeros_like(b_up)
+    return a_up, b_up, a_lo, b_lo
+
+
+def _backward_from(
+    layer_idx: int,
+    Ws: Sequence[jax.Array],
+    bs: Sequence[jax.Array],
+    relax: Sequence[Tuple[jax.Array, ...]],
+    eta0: jax.Array,
+    eps: float,
+    x_bias: jax.Array,
+):
+    """CROWN backward pass bounding z_{layer_idx} (1-based pre-activation).
+
+    relax[j] holds the relaxation of relu(z_{j+1}) (i.e. for pre-activation
+    bounds already computed), each element (a_up, b_up, a_lo, b_lo) with
+    batch leading axis.
+
+    Returns elementwise (lb, ub) of z_{layer_idx}, batched over cells.
+    """
+    W = Ws[layer_idx - 1]
+    b = bs[layer_idx - 1]
+    N = eta0.shape[0]
+    out_dim = W.shape[0]
+    # upper/lower linear forms: out <= Lu @ a_{j} + cu  (a_j = relu(z_j))
+    Lu = jnp.broadcast_to(W, (N,) + W.shape)
+    Ll = Lu
+    cu = jnp.broadcast_to(b, (N, out_dim))
+    cl = cu
+
+    for j in range(layer_idx - 1, 0, -1):
+        a_up, b_up, a_lo, b_lo = relax[j - 1]
+        # absorb relu(z_j): upper form uses up-line on positive coeffs
+        Lu_pos = jnp.maximum(Lu, 0.0)
+        Lu_neg = jnp.minimum(Lu, 0.0)
+        cu = (
+            cu
+            + jnp.einsum("noi,ni->no", Lu_pos, b_up)
+            + jnp.einsum("noi,ni->no", Lu_neg, b_lo)
+        )
+        Lu = Lu_pos * a_up[:, None, :] + Lu_neg * a_lo[:, None, :]
+        Ll_pos = jnp.maximum(Ll, 0.0)
+        Ll_neg = jnp.minimum(Ll, 0.0)
+        cl = (
+            cl
+            + jnp.einsum("noi,ni->no", Ll_pos, b_lo)
+            + jnp.einsum("noi,ni->no", Ll_neg, b_up)
+        )
+        Ll = Ll_pos * a_lo[:, None, :] + Ll_neg * a_up[:, None, :]
+        # absorb affine z_j = W_j a_{j-1} + b_j (+ x_bias at j == 1)
+        Wj, bj = Ws[j - 1], bs[j - 1]
+        if j == 1:
+            bj = bj + x_bias
+        cu = cu + jnp.einsum("noi,ni->no", Lu, jnp.broadcast_to(bj, (N, bj.shape[-1])) if bj.ndim == 1 else bj)
+        cl = cl + jnp.einsum("noi,ni->no", Ll, jnp.broadcast_to(bj, (N, bj.shape[-1])) if bj.ndim == 1 else bj)
+        Lu = jnp.einsum("noi,ik->nok", Lu, Wj)
+        Ll = jnp.einsum("noi,ik->nok", Ll, Wj)
+
+    if layer_idx == 1:
+        # z1 itself: exact affine in eta
+        center = jnp.einsum("oi,ni->no", W, eta0) + b + x_bias
+        radius = eps * jnp.sum(jnp.abs(W), axis=-1)
+        return center - radius, center + radius
+
+    # concretise:  out <= Lu eta + cu  over the Linf box around eta0
+    ub = jnp.einsum("nok,nk->no", Lu, eta0) + cu + eps * jnp.sum(jnp.abs(Lu), -1)
+    lb = jnp.einsum("nok,nk->no", Ll, eta0) + cl - eps * jnp.sum(jnp.abs(Ll), -1)
+    return lb, ub
+
+
+def crown_mlp_bounds(
+    Ws: Sequence[jax.Array],
+    bs: Sequence[jax.Array],
+    eta0: jax.Array,
+    eps: float,
+    x_bias: jax.Array,
+):
+    """Elementwise output bounds of the ReLU MLP over the eta Linf box.
+
+    Args:
+      Ws/bs: dense layer stack [(m1,n), (m2,m1), ..., (out,mk)] — for the
+        FI-ODE dynamics: [W1, W2, W3] with the U x contribution passed as
+        ``x_bias`` added to layer 1's bias.
+      eta0: (N, n) box centers (grid cells).
+      eps:  Linf half-width (1/T).
+      x_bias: (m1,) or (N, m1) static-input contribution U @ x_feat.
+
+    Returns: (lb, ub), each (N, out).
+    """
+    L = len(Ws)
+    if x_bias.ndim == 1:
+        x_bias = jnp.broadcast_to(x_bias, (eta0.shape[0], x_bias.shape[0]))
+    relax = []
+    for j in range(1, L):
+        lj, uj = _backward_from(j, Ws, bs, relax, eta0, eps, x_bias)
+        relax.append(relu_relaxation(lj, uj))
+    return _backward_from(L, Ws, bs, relax, eta0, eps, x_bias)
+
+
+def ibp_mlp_bounds(Ws, bs, eta0, eps, x_bias):
+    """Pure interval propagation (looser; soundness cross-check)."""
+    l = eta0 - eps
+    u = eta0 + eps
+    for i, (W, b) in enumerate(zip(Ws, bs)):
+        c = 0.5 * (l + u)
+        r = 0.5 * (u - l)
+        cz = jnp.einsum("oi,ni->no", W, c) + b
+        rz = jnp.einsum("oi,ni->no", jnp.abs(W), r)
+        if i == 0:
+            cz = cz + x_bias
+        l, u = cz - rz, cz + rz
+        if i < len(Ws) - 1:
+            l, u = jax.nn.relu(l), jax.nn.relu(u)
+    return l, u

@@ -1,0 +1,108 @@
+"""Interval propagation through the barrier projection QP and the
+scale-nominal sigmoid, plus the worst-case Vdot for the margin candidate.
+
+Rebuild of the reference's certification-side nonlinear pieces
+(dynamics/classification.py:175-278 and certify_crown.py:29-34,140-153):
+
+  * ``ibp_sigmoid`` — bounds of (upper-lower)*sigmoid(f)+lower over the cell
+    box, using monotonicity of both factors (:175-181);
+  * ``ibp_cbf_qp`` — per-coordinate worst-case bounds of the projected
+    dynamics: for coordinate i, the adversarial box corner *swaps the i-th
+    diagonal* (h_i at its far end, other coordinates at the end that pushes
+    the budget against coordinate i), then one QP solve per (cell, i)
+    (:208-242).  Here the n QPs per cell are one batched, vmapped solve —
+    (cells * n) rows through the fixed-iteration bisection kernel;
+  * ``worst_case_vdot`` — -f_y^lb + max over the runner-up set of f^ub,
+    with the runner-up set widened by 2 eps (certify_crown.py:143-153).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.simplex_qp import simplex_box_project, simplex_cone_project
+
+__all__ = ["ibp_sigmoid", "ibp_cbf_qp", "worst_case_vdot"]
+
+
+def ibp_sigmoid(f_lb, f_ub, h_lb, h_ub, alpha_1, sigma_1, alpha_2):
+    """Bounds of (upper(h) - lower(h)) * sigmoid(f) + lower(h).
+
+    upper - lower is positive and monotonically decreasing in h; lower is
+    decreasing in h; sigmoid increasing in f (reference ibp_sigmoid).
+    """
+    lower_lb = -alpha_1 * (jnp.exp(sigma_1 * h_ub) - 1.0)
+    lower_ub = -alpha_1 * (jnp.exp(sigma_1 * h_lb) - 1.0)
+    out_lb = (alpha_2 * (1.0 - h_ub) - lower_lb) * jax.nn.sigmoid(f_lb) + lower_lb
+    out_ub = (alpha_2 * (1.0 - h_lb) - lower_ub) * jax.nn.sigmoid(f_ub) + lower_ub
+    return out_lb, out_ub
+
+
+def ibp_cbf_qp(
+    h, eps, lb, ub, alpha_1, sigma_1, alpha_2, *, with_upper=False, qp_iters=30
+):
+    """Worst-case per-coordinate bounds of QP(lower(h'), f~') over the box.
+
+    Args:
+      h:  (N, n) cell centers.
+      eps: box half-width.
+      lb/ub: (N, n) bounds of the raw dynamics f~ over the box (from CROWN).
+      with_upper: also constrain with the upper barrier (two-sided QP), as
+        the reference's ``upper=True`` branch.
+
+    Returns (f_lb, f_ub), each (N, n): bounds of the *projected* dynamics.
+    """
+    N, n = h.shape
+    eye = jnp.eye(n, dtype=bool)
+
+    # (N, n, n): row i = the box corner adversarial for coordinate i
+    h_minus = h[:, None, :] - eps  # all-low corner
+    h_plus = h[:, None, :] + eps
+    # for f_i's LOWER bound: h_j at low end except h_i at high end
+    h_for_lb = jnp.where(eye[None], h_plus, h_minus)
+    # for f_i's UPPER bound: h_j at high end except h_i at low end
+    h_for_ub = jnp.where(eye[None], h_minus, h_plus)
+
+    lower_lb = -alpha_1 * (jnp.exp(sigma_1 * h_for_lb) - 1.0)
+    lower_ub = -alpha_1 * (jnp.exp(sigma_1 * h_for_ub) - 1.0)
+
+    # nominal: for f_i lower bound, f~_i at its lb, others at ub (push the
+    # shared budget away from i); vice versa for the upper bound.
+    f_for_lb = jnp.where(eye[None], lb[:, None, :], ub[:, None, :])
+    f_for_ub = jnp.where(eye[None], ub[:, None, :], lb[:, None, :])
+
+    flat = lambda a: a.reshape(N * n, n)
+    if with_upper:
+        upper_lb = alpha_2 * (1.0 - h_for_lb)
+        upper_ub = alpha_2 * (1.0 - h_for_ub)
+        v_lb = simplex_box_project(
+            flat(lower_lb), flat(upper_lb), flat(f_for_lb), qp_iters
+        )
+        v_ub = simplex_box_project(
+            flat(lower_ub), flat(upper_ub), flat(f_for_ub), qp_iters
+        )
+    else:
+        v_lb = simplex_cone_project(flat(lower_lb), flat(f_for_lb), qp_iters)
+        v_ub = simplex_cone_project(flat(lower_ub), flat(f_for_ub), qp_iters)
+
+    idx = jnp.arange(n)
+    f_lb = v_lb.reshape(N, n, n)[:, idx, idx]
+    f_ub = v_ub.reshape(N, n, n)[:, idx, idx]
+    return f_lb, f_ub
+
+
+def worst_case_vdot(eta, eps, f_lb, f_ub, label):
+    """Upper bound of Vdot for V = 1 + max_wrong - p_y over the cell.
+
+    runner-up set: eta_j >= max_wrong - 2 eps, j != label
+    (the runner-up may change under perturbation; certify_crown.py:143-148).
+    Vdot_ub = -f_label^lb + max_{runner-up} f^ub (certify_crown.py:29-34).
+    """
+    n = eta.shape[-1]
+    onehot = jax.nn.one_hot(label, n, dtype=bool)
+    wrong = jnp.where(onehot, -jnp.inf, eta)
+    max_wrong = jnp.max(wrong, axis=-1, keepdims=True)
+    runner_up = (eta >= max_wrong - 2.0 * eps) & ~onehot
+    f_y_lb = jnp.sum(jnp.where(onehot, f_lb, 0.0), axis=-1)
+    f_wrong_ub = jnp.max(jnp.where(runner_up, f_ub, -jnp.inf), axis=-1)
+    return -f_y_lb + f_wrong_ub

@@ -1,0 +1,201 @@
+"""Verification-layer oracles (SURVEY.md §4): grid counts vs an independent
+recurrence, CROWN soundness by fuzzing (bounds must contain sampled values,
+and be tighter than IBP), QP interval propagation soundness, and an
+end-to-end certification run on a tiny model."""
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fiode_tpu.models.backbones import TinyMLPBackbone
+from fiode_tpu.models.dynamics import SimplexDynamics, barrier_bounds
+from fiode_tpu.models.ivp import NeuralODEClassifier
+from fiode_tpu.ops.simplex_qp import simplex_cone_project
+from fiode_tpu.verify.certify import Certifier
+from fiode_tpu.verify.crown import crown_mlp_bounds, ibp_mlp_bounds
+from fiode_tpu.verify.grid import (
+    count_decision_boundary,
+    enumerate_decision_boundary,
+    grid_for_label,
+)
+from fiode_tpu.verify.ibp_qp import ibp_cbf_qp, worst_case_vdot
+
+
+def reference_count(n, T):
+    """Independent reimplementation of the reference's counting recurrence
+    (eval_utils.py:72-89) as a parity oracle."""
+    f = [[0] * (n + 1) for _ in range(T + 1)]
+    for j in range(T + 1):
+        for k in range(n + 1):
+            if j == 0:
+                f[j][k] = 1
+            elif k < 2 or j == 1:
+                f[j][k] = 0
+            elif k == 2:
+                f[j][k] = 1 if j % 2 == 0 else 0
+            else:
+                for l in range(k - 1):
+                    if j - k + l >= 0:
+                        f[j][k] += f[j - k + l][k - l] * math.comb(k - 1, l)
+    return f[T][n]
+
+
+class TestGrid:
+    @pytest.mark.parametrize("n,T", [(3, 6), (4, 8), (5, 10), (10, 12)])
+    def test_count_matches_reference_recurrence(self, n, T):
+        assert count_decision_boundary(n, T) == reference_count(n, T)
+
+    def test_enumeration_properties(self):
+        g = enumerate_decision_boundary(5, 10)
+        assert len(g) == count_decision_boundary(5, 10)
+        gi = (g * 10).round().astype(int)
+        np.testing.assert_array_equal(gi.sum(-1), 10)
+        assert (gi[:, 0] == gi[:, 1:].max(-1)).all()
+        # no duplicates
+        assert len({tuple(r) for r in gi}) == len(gi)
+
+    def test_grid_for_label_swaps(self):
+        g = enumerate_decision_boundary(4, 8)
+        g2 = grid_for_label(g, 2)
+        gi = (g2 * 8).round().astype(int)
+        others = np.delete(gi, 2, axis=1)
+        assert (gi[:, 2] == others.max(-1)).all()
+
+
+def random_mlp(key, n=6, m=16):
+    ks = jax.random.split(key, 7)
+    Ws = [
+        0.5 * jax.random.normal(ks[0], (m, n)),
+        0.5 * jax.random.normal(ks[1], (m, m)) / np.sqrt(m),
+        0.5 * jax.random.normal(ks[2], (n, m)) / np.sqrt(m),
+    ]
+    bs = [
+        0.1 * jax.random.normal(ks[3], (m,)),
+        0.1 * jax.random.normal(ks[4], (m,)),
+        0.1 * jax.random.normal(ks[5], (n,)),
+    ]
+    x_bias = jax.random.normal(ks[6], (m,))
+    return Ws, bs, x_bias
+
+
+def mlp_forward(Ws, bs, x_bias, eta):
+    z = eta @ Ws[0].T + bs[0] + x_bias
+    z = jax.nn.relu(z)
+    z = z @ Ws[1].T + bs[1]
+    z = jax.nn.relu(z)
+    return z @ Ws[2].T + bs[2]
+
+
+class TestCrown:
+    def test_soundness_and_tighter_than_ibp(self):
+        key = jax.random.PRNGKey(0)
+        Ws, bs, x_bias = random_mlp(key)
+        eta0 = jax.random.uniform(jax.random.PRNGKey(1), (32, 6))
+        eta0 = eta0 / eta0.sum(-1, keepdims=True)
+        eps = 0.05
+        lb, ub = jax.jit(
+            lambda: crown_mlp_bounds(Ws, bs, eta0, eps, x_bias)
+        )()
+        il, iu = jax.jit(
+            lambda: ibp_mlp_bounds(Ws, bs, eta0, eps, x_bias)
+        )()
+        lb, ub, il, iu = map(np.asarray, (lb, ub, il, iu))
+        # CROWN within IBP (never looser)
+        assert (lb >= il - 1e-4).all()
+        assert (ub <= iu + 1e-4).all()
+        assert (lb <= ub + 1e-6).all()
+        # fuzz: sampled values inside bounds
+        key = jax.random.PRNGKey(2)
+        worst_gap = np.inf
+        for _ in range(20):
+            key, k = jax.random.split(key)
+            d = jax.random.uniform(k, eta0.shape, minval=-eps, maxval=eps)
+            f = np.asarray(mlp_forward(Ws, bs, x_bias, eta0 + d))
+            assert (f >= lb - 1e-4).all(), "CROWN lower bound violated"
+            assert (f <= ub + 1e-4).all(), "CROWN upper bound violated"
+            worst_gap = min(worst_gap, float((ub - f).min()))
+        # bounds are not vacuous: something comes close to the bound
+        assert worst_gap < 1.0
+
+    def test_corner_values_tight_for_linear_net(self):
+        # with no hidden relu ambiguity (positive pre-activations) CROWN is
+        # exact at a box corner for a monotone path
+        Ws = [jnp.eye(4), jnp.eye(4), jnp.eye(4)]
+        bs = [jnp.full((4,), 5.0), jnp.zeros(4), jnp.zeros(4)]
+        eta0 = jnp.zeros((1, 4))
+        lb, ub = crown_mlp_bounds(Ws, bs, eta0, 0.1, jnp.zeros(4))
+        np.testing.assert_allclose(np.asarray(ub)[0], 5.1, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(lb)[0], 4.9, atol=1e-5)
+
+
+class TestIbpQp:
+    def test_qp_interval_soundness(self):
+        a1, a2, s1 = 100.0, 20.0, 0.02
+        key = jax.random.PRNGKey(3)
+        h = jax.random.uniform(key, (16, 5))
+        h = h / h.sum(-1, keepdims=True)
+        eps = 0.02
+        mid = jax.random.normal(jax.random.PRNGKey(4), (16, 5))
+        lb = mid - 0.3
+        ub = mid + 0.3
+        f_lb, f_ub = jax.jit(
+            lambda: ibp_cbf_qp(h, eps, lb, ub, a1, s1, a2)
+        )()
+        f_lb, f_ub = np.asarray(f_lb), np.asarray(f_ub)
+        assert (f_lb <= f_ub + 1e-5).all()
+        key = jax.random.PRNGKey(5)
+        for _ in range(30):
+            key, k1, k2 = jax.random.split(key, 3)
+            hp = h + jax.random.uniform(k1, h.shape, minval=-eps, maxval=eps)
+            ft = lb + (ub - lb) * jax.random.uniform(k2, h.shape)
+            lower, _ = barrier_bounds(hp, a1, s1, a2)
+            v = np.asarray(simplex_cone_project(lower, ft, 40))
+            assert (v >= f_lb - 2e-3).all(), (v - f_lb).min()
+            assert (v <= f_ub + 2e-3).all(), (f_ub - v).min()
+
+    def test_worst_case_vdot_brute(self):
+        eta = jnp.asarray([[0.3, 0.3, 0.2, 0.2]])
+        f_lb = jnp.asarray([[-1.0, -2.0, -3.0, -4.0]])
+        f_ub = jnp.asarray([[1.0, 2.0, 3.0, 4.0]])
+        # wide runner-up set: threshold 0.3 - 0.12 < 0.2 -> coords {1,2,3}
+        v = float(worst_case_vdot(eta, 0.06, f_lb, f_ub, jnp.asarray([0]))[0])
+        assert v == pytest.approx(1.0 + 4.0)
+        # tight runner-up set: threshold 0.3 - 0.02 > 0.2 -> only coord {1}
+        v = float(worst_case_vdot(eta, 0.01, f_lb, f_ub, jnp.asarray([0]))[0])
+        assert v == pytest.approx(1.0 + 2.0)
+
+
+class TestCertifierEndToEnd:
+    def _make(self, tmp_path):
+        n, x_dim = 3, 6
+        dyn = SimplexDynamics(
+            n_hidden=n, mlp_size=16, x_dim=x_dim, dropout=0.0,
+            alpha_1=100.0, alpha_2=20.0, sigma_1=0.02, cayley=True,
+        )
+        model = NeuralODEClassifier(
+            backbone=TinyMLPBackbone(out_dim=x_dim, hidden=16,
+                                     mu=(0.5,), std=(0.25,)),
+            dynamics=dyn, n_classes=n,
+        )
+        x = jax.random.uniform(jax.random.PRNGKey(0), (6, 1, 8, 8))
+        params = model.init(jax.random.PRNGKey(1), x)
+        return model, params, x
+
+    def test_certify_runs_and_is_consistent(self, tmp_path):
+        model, params, x = self._make(tmp_path)
+        y = np.asarray([0, 1, 2, 0, 1, 2])
+        cert = Certifier(model, params, T=8, eps_input=0.1, chunk=64)
+        res_c = cert.certify(np.asarray(x), y, method="crown")
+        res_l = cert.certify(np.asarray(x), y, method="lipschitz")
+        # certified implies clean
+        assert (~res_c.certified | res_c.clean).all()
+        assert (~res_l.certified | res_l.clean).all()
+        assert res_c.cells_per_image == count_decision_boundary(3, 8)
+        # CROWN-certified must never beat the exact-sampled (larger-T)
+        # Lipschitz check on the same grid points: if CROWN certifies an
+        # image, no grid point can have a positive exact violation
+        assert (
+            ~res_c.certified | res_l.larger_T_certified
+        ).all(), "CROWN certified an image whose exact grid values violate"

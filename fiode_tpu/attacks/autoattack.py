@@ -1,0 +1,82 @@
+"""AutoAttack suite driver.
+
+Rebuild of the reference's attack evaluation surface:
+  * test-time suite ['apgd-ce', 'apgd-t'] (pl_modules.py:222-244);
+  * 'standard' = [apgd-ce, apgd-t, fab-t, square] full evaluation
+    (eval_autoattack.py:51, AutoAttack version='standard').
+
+Sequential composition: each attack only updates examples that are still
+robust; the suite returns the union of successful adversarials plus the
+final robust-accuracy mask.  Attacks run full-batch with masking (static
+shapes on TPU) rather than re-slicing the still-robust subset.
+"""
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .apgd import apgd_ce, apgd_targeted
+from .fab import fab_targeted
+from .square import square_attack
+
+__all__ = ["AutoAttackSuite"]
+
+
+class AutoAttackSuite:
+    """attacks_to_run subset of {'apgd-ce','apgd-t','fab-t','square'}."""
+
+    def __init__(
+        self,
+        logits_fn: Callable,
+        *,
+        eps: float,
+        norm: str = "L2",
+        attacks_to_run: Sequence[str] = ("apgd-ce", "apgd-t", "fab-t", "square"),
+        n_iter: int = 100,
+        square_queries: int = 5000,
+    ):
+        self.logits_fn = logits_fn
+        self.eps = eps
+        self.norm = norm
+        self.attacks = tuple(attacks_to_run)
+        self.n_iter = n_iter
+        self.square_queries = square_queries
+
+    def run(self, x, y, key):
+        """Returns (x_adv, robust_mask)."""
+        bshape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        pred = jnp.argmax(self.logits_fn(x), -1)
+        robust = pred == y  # misclassified are already "broken"
+        x_adv = x
+
+        for name in self.attacks:
+            key, k = jax.random.split(key)
+            if name == "apgd-ce":
+                xb, succ = apgd_ce(
+                    self.logits_fn, x, y, k, eps=self.eps, norm=self.norm,
+                    n_iter=self.n_iter,
+                )
+            elif name == "apgd-t":
+                xb, succ = apgd_targeted(
+                    self.logits_fn, x, y, k, eps=self.eps, norm=self.norm,
+                    n_iter=self.n_iter,
+                )
+            elif name == "fab-t":
+                xb, succ = fab_targeted(
+                    self.logits_fn, x, y, k, eps=self.eps, norm=self.norm,
+                    n_iter=self.n_iter,
+                )
+            elif name == "square":
+                xb, succ = square_attack(
+                    self.logits_fn, x, y, k, eps=self.eps, norm=self.norm,
+                    n_queries=self.square_queries,
+                )
+            else:
+                raise ValueError(name)
+            newly_broken = succ & robust
+            x_adv = jnp.where(newly_broken.reshape(bshape), xb, x_adv)
+            robust = robust & ~succ
+        return x_adv, robust

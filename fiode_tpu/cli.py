@@ -1,0 +1,117 @@
+"""Command-line interface — the four reference entry points plus grid/segway.
+
+Usage (hydra-compatible override spelling):
+  python -m fiode_tpu train          --config-name cifar_train [k=v ...]
+  python -m fiode_tpu sample-grid    --config-name cifar_certify ++T=40 [--out grid.pkl]
+  python -m fiode_tpu certify-crown  --config-name cifar_certify --run-dir RUN [k=v ...]
+  python -m fiode_tpu certify-lipschitz --config-name cifar_certify --run-dir RUN
+  python -m fiode_tpu eval-autoattack   --config-name cifar_certify --run-dir RUN
+  python -m fiode_tpu segway-train   [--save PATH]
+  python -m fiode_tpu segway-certify [--model PATH]
+
+(reference: sl_pipeline.py CLI, robustness/sample_decision_boundary.py,
+certify_crown.py, certify_lipschitz.py, eval_autoattack.py,
+control/train_segway.py, control/certify_segway.py)
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+from .utils.config import compose
+
+CONFIG_DIRS = {
+    "train": "configs/classification",
+    "certify": "configs/certify",
+}
+
+
+def _compose(args, kind):
+    cfg_dir = args.config_dir or CONFIG_DIRS[kind]
+    return compose(args.config_name, args.overrides, cfg_dir)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="fiode_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add(name, kind=None):
+        sp = sub.add_parser(name)
+        if kind:
+            sp.add_argument("--config-name", required=True)
+            sp.add_argument("--config-dir", default=None)
+            sp.add_argument("overrides", nargs="*")
+        return sp
+
+    sp = add("train", "train")
+    sp.add_argument("--run-dir", default=None)
+    sp.add_argument("--epochs", type=int, default=None)
+
+    sp = add("sample-grid", "certify")
+    sp.add_argument("--out", default=None)
+
+    for name in ("certify-crown", "certify-lipschitz"):
+        sp = add(name, "certify")
+        sp.add_argument("--run-dir", required=True)
+        sp.add_argument("--max-images", type=int, default=None)
+
+    sp = add("eval-autoattack", "certify")
+    sp.add_argument("--run-dir", required=True)
+    sp.add_argument("--max-images", type=int, default=None)
+    sp.add_argument("--attacks", default="apgd-ce,apgd-t,fab-t,square")
+
+    sp = sub.add_parser("segway-train")
+    sp.add_argument("--save", default="run_data/segway.pkl")
+    sp.add_argument("--iters", type=int, default=300)
+    sp.add_argument("--no-adv", action="store_true")
+
+    sp = sub.add_parser("segway-certify")
+    sp.add_argument("--model", default="run_data/segway.pkl")
+    sp.add_argument("--r", type=float, default=0.01)
+    sp.add_argument("--level", type=float, default=0.15)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "train":
+        from .experiment import run_train
+
+        cfg = _compose(args, "train")
+        run_train(cfg, run_dir=args.run_dir, epochs=args.epochs)
+    elif args.cmd == "sample-grid":
+        from .experiment import run_sample_grid
+
+        cfg = _compose(args, "certify")
+        run_sample_grid(cfg, out_path=args.out)
+    elif args.cmd in ("certify-crown", "certify-lipschitz"):
+        from .experiment import run_certify
+
+        cfg = _compose(args, "certify")
+        run_certify(
+            cfg, method=args.cmd.split("-")[1], run_dir=args.run_dir,
+            max_images=args.max_images,
+        )
+    elif args.cmd == "eval-autoattack":
+        from .experiment import run_autoattack
+
+        cfg = _compose(args, "certify")
+        run_autoattack(
+            cfg, run_dir=args.run_dir, max_images=args.max_images,
+            attacks=tuple(args.attacks.split(",")),
+        )
+    elif args.cmd == "segway-train":
+        from .control.train_segway import SegwayTrainConfig, train_segway
+
+        cfg = SegwayTrainConfig(
+            adv_train=not args.no_adv,
+            fit_lqr_iters=args.iters, barrier_iters=args.iters,
+        )
+        train_segway(cfg, save_path=args.save)
+    elif args.cmd == "segway-certify":
+        from .control.certify_segway import certify_segway
+
+        certify_segway(args.model, r=args.r, level=args.level)
+
+
+if __name__ == "__main__":
+    main()

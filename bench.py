@@ -1,21 +1,26 @@
 """Benchmark: dopri5 sample-NFE/sec/chip on the CIFAR-10 flagship model.
 
-The driver's north-star metric (BASELINE.json): number of ODE right-hand-side
-evaluations per second per chip — each NFE is one full RHS on one sample
-(4 matmuls + exp barrier + 30-iteration QP bisection), the inner loop of both
-inference and attack evaluation.  We time the full jitted forward solve
-(KWLarge Cayley backbone + adaptive dopri5 at rtol=atol=1e-3, the reference
-protocol from README.md:27 / pl_modules.py:18-35) on synthetic CIFAR-shaped
-batches and report NFE * batch / seconds.
+The driver's north-star metric (BASELINE.json): ODE right-hand-side
+evaluations x samples per second per chip — each NFE is one full RHS on one
+sample (4 matmuls + exp barrier + 30-iteration QP bisection), the inner loop
+of inference, attack evaluation and Lipschitz certification.  The full
+forward solve (KWLarge Cayley backbone + adaptive dopri5 at rtol=atol=1e-3,
+the reference protocol from README.md:27 / pl_modules.py:18-35) runs with
+the fused Pallas RHS kernel (fiode_tpu/ops/fused_rhs.py).
+
+Measurement note: this environment reaches the TPU through a relay with
+~30ms per-execution round-trip latency, so the benchmark runs N_INNER
+independent solves inside ONE jitted call (each on a perturbed batch) and
+synchronises once — measuring device throughput, not tunnel latency.
 
 ``vs_baseline`` compares against an ANALYTIC estimate of the PyTorch/GPU
-reference implementation's throughput for the same computation
-(REF_SAMPLE_NFE_PER_SEC below): the reference executes the RHS as a stream
-of ~40+ small CUDA kernels per evaluation (barrier_projection.py:241-255 is a
-30-iteration Python loop of elementwise kernels), making it
-kernel-launch-latency bound at roughly 150k sample-NFE/s on a V100-class
-GPU.  The repository publishes no measured numbers (BASELINE.md), so this
-constant is the documented stand-in until a measured GPU run replaces it.
+reference's throughput for the same computation (REF_SAMPLE_NFE_PER_SEC):
+the reference executes each RHS as a stream of ~40+ small CUDA kernels
+(barrier_projection.py:241-255 is a 30-iteration Python loop of elementwise
+kernels), making it kernel-launch-latency bound at roughly 150k
+sample-NFE/s on a V100-class GPU.  The repo publishes no measured numbers
+(BASELINE.md), so this constant is the documented stand-in until a measured
+GPU run replaces it.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -28,7 +33,8 @@ import numpy as np
 
 REF_SAMPLE_NFE_PER_SEC = 150_000.0
 BATCH = 256
-N_ITERS = 10
+N_INNER = 50  # solves per jitted call
+N_OUTER = 4
 
 
 def main():
@@ -43,21 +49,26 @@ def main():
     params = model.init(jax.random.PRNGKey(0), x)
 
     @jax.jit
-    def solve(params, x):
-        sol = model.solve(params, x, mode="while")
-        return sol.ys[-1], sol.nfe
+    def many_solves(params, x):
+        def body(i, carry):
+            nfe_total, acc = carry
+            xi = x + (i.astype(jnp.float32) * 1e-5)  # defeat CSE across iters
+            sol = model.solve(params, xi, mode="while", fused=True)
+            return nfe_total + sol.nfe, acc + sol.ys[-1]
 
-    # warmup / compile
-    probs, nfe = solve(params, x)
-    probs.block_until_ready()
-    nfe_per_solve = int(nfe)
+        nfe_total, acc = jax.lax.fori_loop(
+            0, N_INNER, body, (jnp.zeros((), jnp.int32), jnp.zeros((BATCH, 10)))
+        )
+        return nfe_total, acc
+
+    nfe, acc = many_solves(params, x)  # compile + warmup
+    acc.block_until_ready()
 
     t0 = time.time()
     total_nfe = 0
-    for _ in range(N_ITERS):
-        probs, nfe = solve(params, x)
-        total_nfe += int(nfe)
-    probs.block_until_ready()
+    for _ in range(N_OUTER):
+        nfe, acc = many_solves(params, x)
+        total_nfe += int(nfe)  # forces sync each outer call
     dt = time.time() - t0
 
     sample_nfe_per_sec = total_nfe * BATCH / dt

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 
 from ..ode.adjoint import odeint_adjoint
 from ..ode.integrate import OdeSolution, odeint
-from .dynamics import SimplexDynamics
+from ..ops.fused_rhs import LANE, fused_rhs, pack_rhs_params
+from .dynamics import SimplexDynamics, densify_dynamics_params
 
 __all__ = ["NeuralODEClassifier"]
 
@@ -108,6 +109,60 @@ class NeuralODEClassifier:
             method=self.dynamics.raw, rngs=rngs,
         )
 
+    # -- fused fast path -----------------------------------------------------
+
+    def _fused_setup(self, params, feats):
+        """Padded weights + input injection for the fused Pallas RHS.
+
+        Densifies Cayley layers and precomputes xc = U feats + bU + b1 once
+        per solve — both are loop-invariant and hoisted out of the
+        integration by XLA (the reference recomputes U_x(x) on every RHS
+        eval, dynamics/classification.py:97)."""
+        dense = densify_dynamics_params(params["dynamics"])
+        W1 = dense["hidden_to_mlp"]["kernel"]
+        b1 = dense["hidden_to_mlp"]["bias"]
+        U = dense["U_x"]["kernel"]
+        bU = dense["U_x"]["bias"]
+        W2 = dense["mlp_to_mlp"]["kernel"]
+        b2 = dense["mlp_to_mlp"]["bias"]
+        W3 = dense["mlp_to_hidden"]["kernel"]
+        b3 = dense["mlp_to_hidden"]["bias"]
+        p = pack_rhs_params(W1, W2, W3, b2, b3)
+        xc = feats @ U.T + bU + b1  # (B, mlp)
+        xc_pad = jnp.zeros((feats.shape[0], LANE), xc.dtype)
+        xc_pad = xc_pad.at[:, : xc.shape[1]].set(xc)
+        return p, xc_pad
+
+    def _solve_fused(self, params, x, ts, *, mode, scale_nominal, method,
+                    rtol, atol):
+        dyn = self.dynamics
+        n = dyn.n_hidden
+        feats = self.features(params, x)
+        p, xc_pad = self._fused_setup(params, feats)
+        sn = dyn.scale_nominal if scale_nominal is None else scale_nominal
+        h0 = self.h0(x.shape[0])
+        h0_pad = jnp.zeros((x.shape[0], LANE), h0.dtype)
+        h0_pad = h0_pad.at[:, :n].set(h0)
+        # keep torchdiffeq error-norm semantics on the padded state
+        weight = (jnp.arange(LANE) < n).astype(h0.dtype)[None, :]
+        weight = jnp.broadcast_to(weight, h0_pad.shape)
+
+        def f(t, h, args):
+            pp, xc = args
+            return fused_rhs(
+                h, xc, pp, n, dyn.alpha_1, dyn.sigma_1, dyn.alpha_2, sn,
+                dyn.qp_iters,
+            )
+
+        sol = odeint(
+            f, h0_pad, ts, (p, xc_pad),
+            method=method or self.method, rtol=rtol or self.rtol,
+            atol=atol or self.atol, max_steps=self.max_steps, mode=mode,
+            error_weight=weight,
+        )
+        return OdeSolution(sol.ys[..., :n], sol.nfe, sol.n_accepted,
+                           sol.n_rejected)
+
     # -- forward (integrate) -------------------------------------------------
 
     def solve(
@@ -122,6 +177,7 @@ class NeuralODEClassifier:
         method=None,
         rtol=None,
         atol=None,
+        fused: bool = False,
     ):
         """Integrate and return OdeSolution over requested ts (trajectory of h).
 
@@ -130,6 +186,11 @@ class NeuralODEClassifier:
         """
         if ts is None:
             ts = jnp.asarray([0.0, self.t_max])
+        if fused and not use_adjoint:
+            return self._solve_fused(
+                params, x, ts, mode=mode, scale_nominal=scale_nominal,
+                method=method, rtol=rtol, atol=atol,
+            )
         feats = self.features(params, x)
         h0 = self.h0(x.shape[0])
         dyn_params = {"dynamics": params["dynamics"]}

@@ -102,15 +102,22 @@ def _rk_step(tab: Tableau, f, t0, y0, f0, h, args):
     return y1, f1, err
 
 
-def _initial_step(f, t0, y0, f0, order, rtol, atol, args):
+def _initial_step(f, t0, y0, f0, order, rtol, atol, args, weight=None):
     """Hairer/Wanner first-step heuristic (torchdiffeq _select_initial_step)."""
     scale = atol + jnp.abs(y0) * rtol
-    d0 = jnp.sqrt(jnp.mean((y0 / scale) ** 2))
-    d1 = jnp.sqrt(jnp.mean((f0 / scale) ** 2))
+
+    def wrms(r):
+        if weight is None:
+            return jnp.sqrt(jnp.mean(r * r))
+        w = weight.astype(r.dtype)
+        return jnp.sqrt(jnp.sum(w * r * r) / jnp.maximum(jnp.sum(w), 1.0))
+
+    d0 = wrms(y0 / scale)
+    d1 = wrms(f0 / scale)
     h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
     y1 = y0 + h0 * f0
     f1 = f(t0 + h0, y1, args)
-    d2 = jnp.sqrt(jnp.mean(((f1 - f0) / scale) ** 2)) / h0
+    d2 = wrms((f1 - f0) / scale) / h0
     dmax = jnp.maximum(d1, d2)
     h1 = jnp.where(
         dmax <= 1e-15,
@@ -153,7 +160,7 @@ def _integrate_adaptive_while(tab, f, y0, ts, rtol, atol, args, max_steps, error
     n_out = ts.shape[0]
     t0 = ts[0]
     f0 = f(t0, y0, args)
-    h0 = _initial_step(f, t0, y0, f0, tab.order, rtol, atol, args)
+    h0 = _initial_step(f, t0, y0, f0, tab.order, rtol, atol, args, error_weight)
     t_final = ts[-1]
 
     ys = jnp.zeros((n_out,) + y0.shape, y0.dtype)
@@ -237,7 +244,7 @@ def _integrate_adaptive_scan(tab, f, y0, ts, rtol, atol, args, max_steps, error_
     t0 = ts[0]
     t_final = ts[-1]
     f0 = f(t0, y0, args)
-    h0 = _initial_step(f, t0, y0, f0, tab.order, rtol, atol, args)
+    h0 = _initial_step(f, t0, y0, f0, tab.order, rtol, atol, args, error_weight)
 
     def step(carry, _):
         t, y, fval, h, nfe, nacc, nrej = carry

@@ -1,0 +1,110 @@
+"""Simplex visualisation: project 3-class states to 2-D and plot samples /
+trajectories (the reference's per-epoch wandb media for 3-class runs,
+utils.py:30-140, pl_modules.py:508-523).
+
+matplotlib-based (plotly is not in this image); every function degrades to a
+no-op returning None when matplotlib is unavailable.  Figures can be saved
+to the run directory by the caller or via ``save``.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+try:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    _HAVE_MPL = True
+except Exception:  # pragma: no cover
+    _HAVE_MPL = False
+
+__all__ = ["plot_samples_on_3_simplex", "plot_traj_on_3_simplex",
+           "plot_segway_phase"]
+
+# barycentric projection: vertex i of the 3-simplex -> 2-D corner
+_TRANSFORM = np.array([[0.0, 0.5, 1.0], [0.0, np.sqrt(3) / 2, 0.0]])
+
+
+def _project(h):
+    return np.asarray(h) @ _TRANSFORM.T
+
+
+def _draw_triangle(ax):
+    corners = _project(np.eye(3))
+    loop = np.vstack([corners, corners[:1]])
+    ax.plot(loop[:, 0], loop[:, 1], "r-", lw=1)
+
+
+def plot_samples_on_3_simplex(h_sample, labels=None, save: Optional[str] = None):
+    """Scatter of (N, 3) simplex points inside the triangle."""
+    if not _HAVE_MPL:
+        return None
+    pts = _project(h_sample)
+    fig, ax = plt.subplots(figsize=(5, 4.5))
+    if labels is not None:
+        sc = ax.scatter(pts[:, 0], pts[:, 1], c=np.asarray(labels), s=6,
+                        cmap="tab10")
+        fig.colorbar(sc, ax=ax)
+    else:
+        ax.scatter(pts[:, 0], pts[:, 1], s=6)
+    _draw_triangle(ax)
+    ax.set_aspect("equal")
+    ax.set_title("h samples on the 3-simplex")
+    if save:
+        fig.savefig(save, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
+def plot_traj_on_3_simplex(traj, labels, save: Optional[str] = None):
+    """Trajectories (T, N, 3) coloured by label."""
+    if not _HAVE_MPL:
+        return None
+    traj = np.asarray(traj)
+    labels = np.asarray(labels)
+    fig, ax = plt.subplots(figsize=(5, 4.5))
+    cmap = plt.get_cmap("tab10")
+    for i in range(traj.shape[1]):
+        pts = _project(traj[:, i])
+        ax.plot(pts[:, 0], pts[:, 1], lw=0.8, color=cmap(int(labels[i]) % 10))
+        ax.scatter(pts[-1:, 0], pts[-1:, 1], s=14, marker="s",
+                   color=cmap(int(labels[i]) % 10))
+    _draw_triangle(ax)
+    ax.set_aspect("equal")
+    ax.set_title("ODE trajectories on the 3-simplex")
+    if save:
+        fig.savefig(save, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
+def plot_segway_phase(lya, vdot_fn, *, phi_region, region, level, level_lb,
+                      level_ub, save: Optional[str] = None, n=80):
+    """phi x phi_dot contour of Vdot with the level-band curves
+    (the reference's certify-time contour plot, certify_segway.py:69-101)."""
+    if not _HAVE_MPL:
+        return None
+    import jax.numpy as jnp
+
+    phi = np.linspace(-phi_region, phi_region, n)
+    pd = np.linspace(-region, region, n)
+    P, D = np.meshgrid(phi, pd)
+    pts = np.stack([P.reshape(-1), np.zeros(P.size), D.reshape(-1)], 1)
+    vd = np.asarray(vdot_fn(jnp.asarray(pts, jnp.float32))).reshape(P.shape)
+    lv = np.asarray(lya(jnp.asarray(pts, jnp.float32)))[:, 0].reshape(P.shape)
+    fig, ax = plt.subplots(figsize=(6, 5))
+    c1 = ax.contourf(P, D, vd, levels=8, alpha=0.5, cmap="coolwarm")
+    ax.contour(P, D, lv, [level], colors="k")
+    ax.contour(P, D, lv, [level_lb, level_ub], colors="k",
+               linestyles="dashed", linewidths=1.0)
+    fig.colorbar(c1, ax=ax)
+    ax.set_xlabel(r"$\phi$")
+    ax.set_ylabel(r"$\dot\phi$")
+    if save:
+        fig.savefig(save, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return fig

@@ -308,6 +308,74 @@ def _integrate_adaptive_scan(tab, f, y0, ts, rtol, atol, args, max_steps, error_
 
 
 # ---------------------------------------------------------------------------
+# Adaptive integration — chunked mode: while_loop over blocks of K masked
+# steps.  Data-dependent predicates are only evaluated every K steps, which
+# matters on backends where each while-iteration predicate costs a host
+# round trip (e.g. remote TPU relays); on native hardware it is within
+# noise of 'while' mode.  Endpoint output only (ts = [t0, t_final]).
+# ---------------------------------------------------------------------------
+
+
+def _integrate_adaptive_chunked(
+    tab, f, y0, ts, rtol, atol, args, max_steps, error_weight=None, block=8
+):
+    assert ts.shape[0] == 2, "chunked mode supports ts=[t0, t_final] only"
+    t0 = ts[0]
+    t_final = ts[-1]
+    f0 = f(t0, y0, args)
+    h0 = _initial_step(f, t0, y0, f0, tab.order, rtol, atol, args, error_weight)
+
+    def one_step(carry, _):
+        t, y, fval, h, nfe, nacc, nrej = carry
+        done = t >= t_final
+        h_eff = jnp.maximum(jnp.minimum(h, t_final - t), 1e-12)
+        y1, f1, err = _rk_step(tab, f, t, y, fval, h_eff, args)
+        ratio = rms_error_ratio(err, rtol, atol, y, y1, error_weight)
+        accept = (ratio <= 1.0) & ~done
+        t_new = jnp.where(accept, t + h_eff, t)
+        if tab.fsal:
+            f_acc = f1
+            nfe_step = len(tab.b) - 1
+        else:
+            f_acc = f(t_new, y1, args)
+            nfe_step = len(tab.b)
+        y_new = jnp.where(accept, y1, y)
+        f_new = jnp.where(accept, f_acc, fval)
+        h_next = jnp.where(done, h, _next_step_size(h_eff, ratio, tab.order))
+        return (
+            t_new,
+            y_new,
+            f_new,
+            h_next,
+            nfe + jnp.where(done, 0, nfe_step),
+            nacc + accept.astype(jnp.int32),
+            nrej + ((~accept) & (~done)).astype(jnp.int32),
+        ), None
+
+    def chunk(carry):
+        carry, _ = jax.lax.scan(one_step, carry, None, length=block)
+        return carry
+
+    def cond(carry):
+        t = carry[0]
+        nacc, nrej = carry[5], carry[6]
+        return (t < t_final) & (nacc + nrej < max_steps)
+
+    init = (
+        t0,
+        y0,
+        f0,
+        h0,
+        jnp.asarray(2, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+    )
+    (_, yN, _, _, nfe, nacc, nrej) = jax.lax.while_loop(cond, chunk, init)
+    ys = jnp.stack([y0, yN])
+    return OdeSolution(ys, nfe, nacc, nrej)
+
+
+# ---------------------------------------------------------------------------
 # Fixed-step integration (euler / midpoint / rk4 / adams family)
 # ---------------------------------------------------------------------------
 
@@ -425,6 +493,10 @@ def odeint(
         )
     elif mode == "scan":
         return _integrate_adaptive_scan(
+            tab, f, y0, ts, rtol, atol, args, max_steps, error_weight
+        )
+    elif mode == "chunked":
+        return _integrate_adaptive_chunked(
             tab, f, y0, ts, rtol, atol, args, max_steps, error_weight
         )
     raise ValueError(f"unknown mode {mode!r}")

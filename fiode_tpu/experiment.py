@@ -78,7 +78,8 @@ def build_model(cfg: dict) -> NeuralODEClassifier:
         n_classes=int(ds["N_CLASSES"]),
         t_max=float(m["t_max"]),
         h0_init="uniform" if init_target == "UniformInitFun" else "zeros",
-        output=out_target if out_target in ("default", "first_n") else "default",
+        output=out_target if out_target in ("default", "first_n", "linear")
+        else "default",
         method=m.get("val_ode_solver", "dopri5"),
         rtol=float(m.get("val_ode_tol", 1e-3)),
         atol=float(m.get("val_ode_tol", 1e-3)),
@@ -143,6 +144,7 @@ def build_trainer(cfg: dict, run_dir: Optional[str] = None) -> LyapunovTrainer:
         epoch_off_scale=int(m.get("epoch_off_scale", 10)),
         train_ode=bool(m.get("train_ode", False)),
         train_ode_epoch=int(m.get("train_ode_epoch", 100)),
+        objective=m.get("objective", "lyapunov"),
         adv_train=bool(m.get("adv_train", False)),
         val_adv=bool(m.get("val_adv", False)),
         eps=float(m.get("eps", 36 / 255)), norm=m.get("norm", "L2"),
@@ -242,7 +244,9 @@ def run_autoattack(cfg: dict, run_dir: str = ".", max_images=None,
         xs, ys = xs[:max_images], ys[:max_images]
 
     def logits_fn(x):
-        return model.output_fn(model.solve(params, x, mode="scan").ys[-1])
+        return model.output_fn(
+            model.solve(params, x, mode="scan").ys[-1], params.get("output")
+        )
 
     suite = AutoAttackSuite(
         logits_fn, eps=float(cfg.get("eps", 36 / 255)),

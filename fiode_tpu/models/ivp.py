@@ -50,7 +50,7 @@ class NeuralODEClassifier:
     # -- parameter handling --------------------------------------------------
 
     def init(self, rng, sample_x) -> dict:
-        kb, kd = jax.random.split(rng)
+        kb, kd, ko = jax.random.split(rng, 3)
         params = {}
         if self.backbone is not None:
             params["backbone"] = self.backbone.init(kb, sample_x)["params"]
@@ -61,6 +61,14 @@ class NeuralODEClassifier:
         params["dynamics"] = self.dynamics.init(
             kd, h0, feats, method=self.dynamics.eval_dot
         )["params"]
+        if self.output == "linear":
+            # LinearLastOutput readout (output_coordinates.py:21-28),
+            # xavier-uniform, no bias
+            params["output"] = {
+                "kernel": jax.nn.initializers.xavier_uniform()(
+                    ko, (self.n_classes, self.dynamics.n_hidden)
+                )
+            }
         return params
 
     # -- coordinate maps -----------------------------------------------------
@@ -78,11 +86,15 @@ class NeuralODEClassifier:
             h = jnp.zeros((batch_size, n))
         return h
 
-    def output_fn(self, h):
+    def output_fn(self, h, output_params=None):
         if self.output == "default":
             return h
         if self.output == "first_n":
             return h[..., : self.n_classes]
+        if self.output == "linear":
+            if output_params is None:
+                raise ValueError("output='linear' needs params['output']")
+            return h @ output_params["kernel"].T
         raise ValueError(self.output)
 
     # -- dynamics as a pure RHS ---------------------------------------------
@@ -224,9 +236,9 @@ class NeuralODEClassifier:
     def predict(self, params, x, **kw):
         """Class probabilities at t_max (the forward pass of the classifier)."""
         sol = self.solve(params, x, **kw)
-        return self.output_fn(sol.ys[-1])
+        return self.output_fn(sol.ys[-1], params.get("output"))
 
     def trajectory(self, params, x, n_points: int = 100, **kw):
         ts = jnp.linspace(0.0, self.t_max, n_points)
         sol = self.solve(params, x, ts, **kw)
-        return self.output_fn(sol.ys)
+        return self.output_fn(sol.ys, params.get("output"))

@@ -38,9 +38,25 @@ from ..parallel.mesh import data_sharding, make_mesh, replicate, shard_batch
 from ..utils.checkpoint import CheckpointManager
 from ..utils.logging import MetricWriter
 from .data import Dataset, augment_batch
-from .lyapunov import anneal_kappa, get_lya_candidate, lyapunov_loss
+from .lips import compute_lfx, lfx_init
+from .lyapunov import (
+    LyapunovMetrics,
+    anneal_kappa,
+    get_lya_candidate,
+    lips_kappa,
+    lyapunov_loss,
+)
 from .samplers import composite_sample
 from .schedulers import CompositeSamplerScheduler
+
+
+def _zero_metrics(loss):
+    z = jnp.zeros(())
+    return LyapunovMetrics(
+        loss=loss, monte_carlo_loss=z, barrier_loss=z, kappa=z,
+        effective_batch_size=jnp.zeros((), jnp.int32).astype(jnp.float32),
+        mean_active_constraints=z, mean_v=z, mean_vdot=z,
+    )
 
 __all__ = ["TrainConfig", "LyapunovTrainer"]
 
@@ -63,6 +79,9 @@ class TrainConfig:
     batch_size: int = 128
     val_batch_size: int = 256
     augment: bool = True
+    # objective: 'lyapunov' (LyapunovLearning), 'ode' (ODELearning plain CE
+    # through the solve), 'classical' (ClassicalLearning plain CNN)
+    objective: str = "lyapunov"
     # lyapunov (reference Lyapunov node, ExpConfig.py:240-256)
     h_sample_size: int = 256
     h_dist_lim: float = 15.0
@@ -182,7 +201,35 @@ class LyapunovTrainer:
         n = self.n
         dyn = model.dynamics
 
-        def compute_loss(params, x, y, key, step, mixer, scale_nominal):
+        def ode_ce_loss(params, x, y, scale_nominal):
+            """Plain CE/NLL through the ODE solve (ODELearning.compute_loss,
+            pl_modules.py:328-335)."""
+            probs = model.output_fn(
+                model.solve(params, x, mode="scan",
+                            scale_nominal=scale_nominal).ys[-1],
+                params.get("output"),
+            )
+            if cfg.simplex:
+                p_y = jnp.take_along_axis(probs, y[:, None], axis=-1)[:, 0]
+                return -jnp.mean(jnp.log(jnp.clip(p_y, 1e-12)))
+            return -jnp.mean(
+                jax.nn.log_softmax(probs)[jnp.arange(y.shape[0]), y]
+            )
+
+        def compute_loss(params, x, y, key, step, mixer, kappa,
+                         scale_nominal):
+            if cfg.objective == "classical":
+                # plain supervised CNN (ClassicalLearning,
+                # pl_modules.py:247-270): the backbone IS the model
+                logits = model.features(params, x)
+                loss = -jnp.mean(
+                    jax.nn.log_softmax(logits)[jnp.arange(y.shape[0]), y]
+                )
+                return loss, _zero_metrics(loss)
+            if cfg.objective == "ode":
+                loss = ode_ce_loss(params, x, y, scale_nominal)
+                return loss, _zero_metrics(loss)
+
             B = x.shape[0]
             S = cfg.h_sample_size
             k_samp, k_drop = jax.random.split(key)
@@ -205,10 +252,10 @@ class LyapunovTrainer:
             f_tilde = (
                 model.raw_dot(params, h, x_in) if cfg.barrier_loss else None
             )
-            kappa = anneal_kappa(step, dyn.kappa, dyn.kappa_length)
             loss, metrics = lyapunov_loss(
                 h=h, f=f, f_tilde=f_tilde, y=y_in, lya_cand=lya,
-                output_fn=model.output_fn, current_kappa=kappa,
+                output_fn=lambda h_: model.output_fn(h_, params.get("output")),
+                current_kappa=kappa,
                 alpha_1=dyn.alpha_1, alpha_2=dyn.alpha_2, act=cfg.act,
                 relax_exp_stable=cfg.relax_exp_stable,
                 scale_l_eps=cfg.scale_l_eps, eps=cfg.eps,
@@ -216,40 +263,53 @@ class LyapunovTrainer:
             )
             return loss, metrics
 
-        def full_loss(params, x, y, key, step, mixer, scale_nominal, ode_portion):
+        def full_loss(params, x, y, key, step, mixer, kappa, scale_nominal,
+                      ode_portion):
             loss, metrics = compute_loss(
-                params, x, y, key, step, mixer, scale_nominal
+                params, x, y, key, step, mixer, kappa, scale_nominal
             )
-            if cfg.train_ode:
+            if cfg.train_ode and cfg.objective == "lyapunov":
                 # blended true-ODE CE loss (pl_modules.py:490-502); portion is
                 # 0 until train_ode_epoch then ramps to 0.98 over 50 epochs.
-                probs = model.output_fn(
-                    model.solve(params, x, mode="scan",
-                                scale_nominal=scale_nominal).ys[-1]
-                )
-                p_y = jnp.take_along_axis(probs, y[:, None], axis=-1)[:, 0]
-                loss_ode = -jnp.mean(jnp.log(jnp.clip(p_y, 1e-12)))
+                loss_ode = ode_ce_loss(params, x, y, scale_nominal)
                 loss = loss * (1.0 - ode_portion) + loss_ode * ode_portion
             return loss, metrics
+
+        input_shape = self.ds.image_shape
 
         @functools.partial(
             jax.jit,
             static_argnames=("scale_nominal", "use_warmup_tx"),
-            donate_argnums=(0, 1),
+            donate_argnums=(0, 1, 2),
         )
-        def train_step(params, opt_state, key, x, y, step, mixer,
+        def train_step(params, opt_state, lfx_state, key, x, y, step, mixer,
                        ode_portion, *, scale_nominal, use_warmup_tx):
             k_aug, k_adv, k_loss = jax.random.split(key, 3)
             if cfg.augment and self.ds.name.startswith("CIFAR"):
                 # crop+flip are CIFAR-only in the reference transforms
                 # (dataset_loaders.py:68-74 vs :19-23)
                 x = augment_batch(k_aug, x)
+
+            # kappa: Lipschitz-aware (pl_modules.py:437-445) or linear anneal
+            if cfg.lips_train and lfx_state is not None:
+                Lfx, lfx_state = compute_lfx(
+                    model.backbone, params["backbone"], lfx_state, input_shape
+                )
+                kappa = lips_kappa(
+                    step, dyn.kappa, dyn.kappa_length, cfg.eps, Lfx,
+                    cfg.lips_warmup,
+                )
+            else:
+                Lfx = jnp.asarray(1.0)
+                kappa = anneal_kappa(step, dyn.kappa, dyn.kappa_length)
+
             if cfg.adv_train:
-                # PGD on the Lyapunov objective itself (advertorch target
+                # PGD on the training objective itself (advertorch target
                 # compute_loss; pl_modules.py:149-158)
                 def adv_obj(xa):
                     l, _ = compute_loss(
-                        params, xa, y, k_loss, step, mixer, scale_nominal
+                        params, xa, y, k_loss, step, mixer, kappa,
+                        scale_nominal,
                     )
                     return l[None]
 
@@ -261,11 +321,14 @@ class LyapunovTrainer:
 
             (loss, metrics), grads = jax.value_and_grad(
                 full_loss, has_aux=True
-            )(params, x, y, k_loss, step, mixer, scale_nominal, ode_portion)
+            )(params, x, y, k_loss, step, mixer, kappa, scale_nominal,
+              ode_portion)
             tx = self.warmup_tx if use_warmup_tx else self.main_tx
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, loss, metrics._asdict()
+            md = metrics._asdict()
+            md["Lips"] = Lfx
+            return params, opt_state, lfx_state, loss, md
 
         return train_step
 
@@ -276,10 +339,16 @@ class LyapunovTrainer:
         model = self.model
 
         def predict(params, x):
-            return model.output_fn(model.solve(params, x, mode="while").ys[-1])
+            return model.output_fn(
+                model.solve(params, x, mode="while").ys[-1],
+                params.get("output"),
+            )
 
         def predict_diff(params, x):
-            return model.output_fn(model.solve(params, x, mode="scan").ys[-1])
+            return model.output_fn(
+                model.solve(params, x, mode="scan").ys[-1],
+                params.get("output"),
+            )
 
         @jax.jit
         def eval_step(params, key, x, y):
@@ -358,6 +427,14 @@ class LyapunovTrainer:
         use_warmup = cfg.warmup > 0
         tx = self.warmup_tx if use_warmup else self.main_tx
         opt_state = replicate(self.mesh, tx.init(params))
+        lfx_state = None
+        if cfg.lips_train and "backbone" in params:
+            lfx_state = lfx_init(
+                self.model.backbone, params["backbone"],
+                self.ds.image_shape, jax.random.PRNGKey(cfg.seed + 1),
+            )
+            if lfx_state is not None:
+                lfx_state = replicate(self.mesh, lfx_state)
 
         step = 0
         for epoch in range(epochs):
@@ -380,8 +457,8 @@ class LyapunovTrainer:
                 batch = shard_batch(
                     self.mesh, (jnp.asarray(bx), jnp.asarray(by))
                 )
-                params, opt_state, loss, metrics = self._train_step(
-                    params, opt_state, k, batch[0], batch[1],
+                params, opt_state, lfx_state, loss, metrics = self._train_step(
+                    params, opt_state, lfx_state, k, batch[0], batch[1],
                     jnp.asarray(step), mixer, ode_portion,
                     scale_nominal=bool(scale_nominal),
                     use_warmup_tx=use_warmup,

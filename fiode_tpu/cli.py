@@ -47,6 +47,8 @@ def main(argv=None):
     sp = add("train", "train")
     sp.add_argument("--run-dir", default=None)
     sp.add_argument("--epochs", type=int, default=None)
+    sp.add_argument("--test-adv", action="store_true",
+                    help="run AutoAttack apgd-ce/apgd-t at test time")
 
     sp = add("sample-grid", "certify")
     sp.add_argument("--out", default=None)
@@ -77,7 +79,8 @@ def main(argv=None):
         from .experiment import run_train
 
         cfg = _compose(args, "train")
-        run_train(cfg, run_dir=args.run_dir, epochs=args.epochs)
+        run_train(cfg, run_dir=args.run_dir, epochs=args.epochs,
+                  test_adv=args.test_adv)
     elif args.cmd == "sample-grid":
         from .experiment import run_sample_grid
 

@@ -159,12 +159,16 @@ def build_trainer(cfg: dict, run_dir: Optional[str] = None) -> LyapunovTrainer:
     )
 
 
-def run_train(cfg: dict, run_dir: Optional[str] = None, epochs=None):
+def run_train(cfg: dict, run_dir: Optional[str] = None, epochs=None,
+              test_adv: bool = False):
     tr = build_trainer(cfg, run_dir)
     params = tr.fit(epochs=epochs)
     # final test evaluation (reference trainer.test(ckpt='best'),
     # sl_pipeline.py:222)
     test = tr.evaluate(params, jax.random.PRNGKey(1), split="test")
+    if test_adv:
+        # AutoAttack apgd-ce/apgd-t at test (pl_modules.py:222-244)
+        test.update(tr.test_autoattack(params, jax.random.PRNGKey(2)))
     tr.writer.log({f"test_{k}": v for k, v in test.items()}, step=-1)
     tr.writer.console(f"test: {test}")
     return params, test

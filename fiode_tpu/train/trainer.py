@@ -488,7 +488,80 @@ class LyapunovTrainer:
                 state = {"params": params, "step": step}
                 self.ckpt.maybe_save_best(state, val, step)
                 self.ckpt.save_last(state, val, step)
+                self._maybe_plot_simplex(params, key, epoch)
         return params
+
+    def _maybe_plot_simplex(self, params, key, epoch):
+        """3-class runs: per-epoch simplex sample/trajectory figures
+        (reference pl_modules.py:508-523, utils.py:30-140)."""
+        if self.n != 3:
+            return
+        try:
+            from ..utils.plotting import (
+                plot_samples_on_3_simplex,
+                plot_traj_on_3_simplex,
+            )
+
+            plots = self.ckpt.dir.parent / "plots"
+            plots.mkdir(exist_ok=True)
+            k1, k2 = jax.random.split(key)
+            y = jnp.asarray(self.ds.val_y[:16])
+            mixer = jnp.asarray(self._epoch_mixer(epoch))
+            h = composite_sample(
+                k1, tuple(self.cfg.sampler_names), mixer, y, 3, 64,
+                h_dist_lim=self.cfg.h_dist_lim,
+            ).reshape(-1, 3)
+            plot_samples_on_3_simplex(
+                np.asarray(h), save=str(plots / f"samples_e{epoch:04d}.png")
+            )
+            x = jnp.asarray(self.ds.val_x[:16])
+            traj = jax.jit(
+                lambda p, x: self.model.trajectory(p, x, n_points=50)
+            )(params, x)
+            plot_traj_on_3_simplex(
+                np.asarray(traj), np.asarray(y),
+                save=str(plots / f"traj_e{epoch:04d}.png"),
+            )
+        except Exception as e:  # plotting must never kill training
+            self.writer.console(f"[plot] skipped: {e}")
+
+    def test_autoattack(self, params, key, attacks=("apgd-ce", "apgd-t"),
+                        max_batches=None, n_iter=100):
+        """Test-time AutoAttack evaluation (reference test_step,
+        pl_modules.py:222-244: apgd-ce + apgd-t at eps/norm)."""
+        from ..attacks.autoattack import AutoAttackSuite
+
+        model = self.model
+
+        def logits_fn(x):
+            return model.output_fn(
+                model.solve(params, x, mode="scan").ys[-1],
+                params.get("output"),
+            )
+
+        suite = AutoAttackSuite(
+            logits_fn, eps=self.cfg.eps, norm=self.cfg.norm,
+            attacks_to_run=attacks, n_iter=n_iter,
+        )
+        bs = self.cfg.val_batch_size
+        xs, ys = self.ds.test_x, self.ds.test_y
+        n_batches = max(1, len(xs) // bs)
+        if max_batches:
+            n_batches = min(n_batches, max_batches)
+        robust, clean, total = 0, 0, 0
+        for i in range(n_batches):
+            bx = jnp.asarray(xs[i * bs : (i + 1) * bs])
+            by = jnp.asarray(ys[i * bs : (i + 1) * bs])
+            key, k = jax.random.split(key)
+            _, rob = suite.run(bx, by, k)
+            pred = jnp.argmax(logits_fn(bx), -1)
+            clean += int(jnp.sum(pred == by))
+            robust += int(jnp.sum(rob))
+            total += len(bx)
+        return {
+            "test_error_clean": 1.0 - clean / total,
+            "test_error_adv": 1.0 - robust / total,
+        }
 
     def evaluate(self, params, key, split: str = "val", max_batches=None):
         xs = getattr(self.ds, f"{split}_x")

@@ -1,0 +1,82 @@
+"""Secondary benchmark: CROWN grid cells certified per second (T=40, n=10).
+
+The second north-star metric (BASELINE.json): throughput of the full
+certification pipeline per grid cell — CROWN backward bounds of the 10->128
+->128->10 ReLU dynamics twin over the 1/T Linf cell box, diag-swapped
+interval propagation through the barrier QP (2n batched bisections per
+cell), and the runner-up worst-case Vdot reduction
+(reference certify_crown.py:131-153 inner loop).
+
+Methodology matches bench.py: chunks are swept inside one jitted fori_loop
+with a single sync (the TPU relay costs ~30ms per execution), best-of-N.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"};
+vs_baseline uses an analytic estimate of the reference's GPU throughput
+(~50k cells/s: auto_LiRPA CROWN on 103k-cell batches at a few seconds per
+batch plus n-per-cell sequential QP python loops).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REF_CELLS_PER_SEC = 50_000.0
+CHUNK = 4096
+N_INNER = 10
+N_OUTER = 3
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from fiode_tpu.verify.crown import crown_mlp_bounds
+    from fiode_tpu.verify.ibp_qp import ibp_cbf_qp, worst_case_vdot
+
+    rng = np.random.default_rng(0)
+    n, m = 10, 128
+    Ws = [
+        jnp.asarray(rng.normal(size=(m, n)).astype(np.float32)) / np.sqrt(n),
+        jnp.asarray(rng.normal(size=(m, m)).astype(np.float32)) / np.sqrt(m),
+        jnp.asarray(rng.normal(size=(n, m)).astype(np.float32)) / np.sqrt(m),
+    ]
+    bs = [jnp.zeros(m), jnp.zeros(m), jnp.zeros(n)]
+    x_bias = jnp.asarray(rng.normal(size=(m,)).astype(np.float32))
+    eta = rng.exponential(size=(CHUNK, n)).astype(np.float32)
+    eta /= eta.sum(1, keepdims=True)
+    eta = jnp.asarray(eta)
+    eps = 1.0 / 40
+
+    @jax.jit
+    def sweep(Ws, bs, x_bias, eta):
+        def body(i, worst):
+            e = eta + i.astype(jnp.float32) * 1e-6
+            lb, ub = crown_mlp_bounds(Ws, bs, e, eps, x_bias)
+            f_lb, f_ub = ibp_cbf_qp(e, eps, lb, ub, 100.0, 0.02, 20.0)
+            v = jnp.max(worst_case_vdot(e, eps, f_lb, f_ub, 3))
+            return jnp.maximum(worst, v)
+
+        return jax.lax.fori_loop(0, N_INNER, body, -jnp.inf)
+
+    float(sweep(Ws, bs, x_bias, eta))  # compile + warmup
+    best = 0.0
+    for _ in range(N_OUTER):
+        t0 = time.time()
+        float(sweep(Ws, bs, x_bias, eta))
+        best = max(best, N_INNER * CHUNK / (time.time() - t0))
+    print(
+        json.dumps(
+            {
+                "metric": "crown_grid_cells_certified_per_sec",
+                "value": round(best, 1),
+                "unit": "cells/sec (T=40, n=10, mlp=128)",
+                "vs_baseline": round(best / REF_CELLS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -126,8 +126,7 @@ class Certifier:
         eps = self.eps
         a1, a2, s1 = self.alpha_1, self.alpha_2, self.sigma_1
 
-        @jax.jit
-        def chunk_fn(Ws, bs, x_bias, eta, label, valid):
+        def one(Ws, bs, x_bias, eta, label, valid):
             lb, ub = crown_mlp_bounds(Ws, bs, eta, eps, x_bias)
             if self.scale_nominal:
                 lb, ub = ibp_sigmoid(lb, ub, eta - eps, eta + eps, a1, s1, a2)
@@ -138,7 +137,18 @@ class Certifier:
             vdot = jnp.where(valid, vdot, -jnp.inf)
             return jnp.max(vdot) + self.kappa
 
-        return chunk_fn
+        @jax.jit
+        def superchunk_fn(Ws, bs, x_bias, etas, label, valids):
+            # etas (K, C, n), valids (K, C): K chunks in one program, one
+            # device sync per call (the relay costs ~30ms per execution)
+            def body(i, worst):
+                return jnp.maximum(
+                    worst, one(Ws, bs, x_bias, etas[i], label, valids[i])
+                )
+
+            return jax.lax.fori_loop(0, etas.shape[0], body, -jnp.inf)
+
+        return superchunk_fn
 
     # -- Lipschitz -----------------------------------------------------------
 
@@ -148,8 +158,7 @@ class Certifier:
         eps = self.eps
         dist = float(np.sqrt(n)) / self.T  # grid gap (certify_lipschitz.py:79-83)
 
-        @jax.jit
-        def chunk_fn(params, feats, eta, label, valid):
+        def one(params, feats, eta, label, valid):
             x_in = jnp.broadcast_to(feats, (eta.shape[0], feats.shape[-1]))
             f = self.model.eval_dot(
                 params, eta, x_in, scale_nominal=self.scale_nominal
@@ -168,22 +177,40 @@ class Certifier:
             v_larger_T = jnp.where(valid, vdot + self.kappa, -jnp.inf)
             return jnp.max(v_full), jnp.max(v_larger_T)
 
-        return chunk_fn
+        @jax.jit
+        def superchunk_fn(params, feats, etas, label, valids):
+            def body(i, carry):
+                wf, wl = carry
+                vf, vl = one(params, feats, etas[i], label, valids[i])
+                return jnp.maximum(wf, vf), jnp.maximum(wl, vl)
+
+            return jax.lax.fori_loop(
+                0, etas.shape[0], body, (-jnp.inf, -jnp.inf)
+            )
+
+        return superchunk_fn
 
     # -- drivers -------------------------------------------------------------
 
-    def _iter_chunks(self, label: int):
+    def _iter_chunks(self, label: int, superchunk: int = 16):
+        """Yield (K, C, n) cell blocks + (K, C) validity masks (padded)."""
         g = grid_for_label(self.grid, label)
         C = self.chunk
+        block_cells = C * superchunk
         n_cells = len(g)
-        for i in range(0, n_cells, C):
-            block = g[i : i + C]
+        for i in range(0, n_cells, block_cells):
+            block = g[i : i + block_cells]
             valid = np.ones(len(block), bool)
-            if len(block) < C:  # pad to static shape
-                pad = C - len(block)
-                block = np.concatenate([block, np.zeros((pad, self.n), np.float32)])
+            if len(block) < block_cells:  # pad to static shape
+                pad = block_cells - len(block)
+                block = np.concatenate(
+                    [block, np.zeros((pad, self.n), np.float32)]
+                )
                 valid = np.concatenate([valid, np.zeros(pad, bool)])
-            yield jnp.asarray(block), jnp.asarray(valid)
+            yield (
+                jnp.asarray(block.reshape(superchunk, C, self.n)),
+                jnp.asarray(valid.reshape(superchunk, C)),
+            )
 
     def certify(
         self,

@@ -106,6 +106,9 @@ class TrainConfig:
     seed: int = 0
     log_every: int = 20
     simplex: bool = True
+    # optimizer steps fused into one jitted call (amortises per-dispatch
+    # latency; >1 recommended on relay-attached chips)
+    steps_per_call: int = 1
 
 
 class LyapunovTrainer:
@@ -277,13 +280,8 @@ class LyapunovTrainer:
 
         input_shape = self.ds.image_shape
 
-        @functools.partial(
-            jax.jit,
-            static_argnames=("scale_nominal", "use_warmup_tx"),
-            donate_argnums=(0, 1, 2),
-        )
-        def train_step(params, opt_state, lfx_state, key, x, y, step, mixer,
-                       ode_portion, *, scale_nominal, use_warmup_tx):
+        def step_body(params, opt_state, lfx_state, key, x, y, step, mixer,
+                      ode_portion, scale_nominal, use_warmup_tx):
             k_aug, k_adv, k_loss = jax.random.split(key, 3)
             if cfg.augment and self.ds.name.startswith("CIFAR"):
                 # crop+flip are CIFAR-only in the reference transforms
@@ -330,6 +328,52 @@ class LyapunovTrainer:
             md["Lips"] = Lfx
             return params, opt_state, lfx_state, loss, md
 
+        @functools.partial(
+            jax.jit,
+            static_argnames=("scale_nominal", "use_warmup_tx"),
+            donate_argnums=(0, 1, 2),
+        )
+        def train_step(params, opt_state, lfx_state, key, x, y, step, mixer,
+                       ode_portion, *, scale_nominal, use_warmup_tx):
+            return step_body(
+                params, opt_state, lfx_state, key, x, y, step, mixer,
+                ode_portion, scale_nominal, use_warmup_tx,
+            )
+
+        @functools.partial(
+            jax.jit,
+            static_argnames=("scale_nominal", "use_warmup_tx"),
+            donate_argnums=(0, 1, 2),
+        )
+        def train_multi_step(params, opt_state, lfx_state, key, xs, ys,
+                             step0, mixer, ode_portion, *, scale_nominal,
+                             use_warmup_tx):
+            """K optimizer steps in ONE program: xs (K, B, ...), ys (K, B).
+
+            One device sync per K steps — matters on high-latency relays and
+            removes per-step dispatch overhead everywhere else."""
+            K = xs.shape[0]
+
+            def body(i, carry):
+                params, opt_state, lfx_state, key, _, _ = carry
+                key, k = jax.random.split(key)
+                params, opt_state, lfx_state, loss, md = step_body(
+                    params, opt_state, lfx_state, k, xs[i], ys[i],
+                    step0 + i, mixer, ode_portion, scale_nominal,
+                    use_warmup_tx,
+                )
+                return params, opt_state, lfx_state, key, loss, md
+
+            # unrolled first step fixes the carry structure (metrics dict)
+            carry = body(
+                0, (params, opt_state, lfx_state, key, jnp.zeros(()), None)
+            )
+            if K > 1:
+                carry = jax.lax.fori_loop(1, K, body, carry)
+            params, opt_state, lfx_state, _, loss, md = carry
+            return params, opt_state, lfx_state, loss, md
+
+        self._train_multi_step = train_multi_step
         return train_step
 
     # -- eval ----------------------------------------------------------------
@@ -450,26 +494,73 @@ class LyapunovTrainer:
             ode_portion = jnp.asarray(self._ode_portion(epoch), jnp.float32)
 
             t_epoch = time.time()
+            spc = max(1, cfg.steps_per_call)
+            group_x, group_y = [], []
             for bx, by in self._batches(
                 rng_np, self.ds.train_x, self.ds.train_y, cfg.batch_size
             ):
+                group_x.append(bx)
+                group_y.append(by)
+                if len(group_x) < spc:
+                    continue
                 key, k = jax.random.split(key)
-                batch = shard_batch(
-                    self.mesh, (jnp.asarray(bx), jnp.asarray(by))
-                )
-                params, opt_state, lfx_state, loss, metrics = self._train_step(
-                    params, opt_state, lfx_state, k, batch[0], batch[1],
-                    jnp.asarray(step), mixer, ode_portion,
-                    scale_nominal=bool(scale_nominal),
-                    use_warmup_tx=use_warmup,
-                )
-                if step % cfg.log_every == 0:
+                if spc == 1:
+                    batch = shard_batch(
+                        self.mesh, (jnp.asarray(group_x[0]),
+                                    jnp.asarray(group_y[0]))
+                    )
+                    params, opt_state, lfx_state, loss, metrics = (
+                        self._train_step(
+                            params, opt_state, lfx_state, k, batch[0],
+                            batch[1], jnp.asarray(step), mixer, ode_portion,
+                            scale_nominal=bool(scale_nominal),
+                            use_warmup_tx=use_warmup,
+                        )
+                    )
+                else:
+                    # (K, B, ...) stacked group: shard the batch axis (dim 1)
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    def put(a):
+                        spec = PartitionSpec(None, "data",
+                                             *([None] * (a.ndim - 2)))
+                        return jax.device_put(
+                            a, NamedSharding(self.mesh, spec)
+                        )
+
+                    xs = put(jnp.asarray(np.stack(group_x)))
+                    ys = put(jnp.asarray(np.stack(group_y)))
+                    params, opt_state, lfx_state, loss, metrics = (
+                        self._train_multi_step(
+                            params, opt_state, lfx_state, k, xs, ys,
+                            jnp.asarray(step), mixer, ode_portion,
+                            scale_nominal=bool(scale_nominal),
+                            use_warmup_tx=use_warmup,
+                        )
+                    )
+                group_x, group_y = [], []
+                if (step // spc) % max(1, cfg.log_every // spc) == 0:
                     m = {"training_loss": loss, **metrics}
                     m.update(
                         {f"mixing_weight_{i}": float(w)
                          for i, w in enumerate(np.asarray(mixer))}
                     )
                     self.writer.log(m, step=step, epoch=epoch)
+                step += spc
+            # flush the trailing partial group one step at a time
+            for bx, by in zip(group_x, group_y):
+                key, k = jax.random.split(key)
+                batch = shard_batch(
+                    self.mesh, (jnp.asarray(bx), jnp.asarray(by))
+                )
+                params, opt_state, lfx_state, loss, metrics = (
+                    self._train_step(
+                        params, opt_state, lfx_state, k, batch[0], batch[1],
+                        jnp.asarray(step), mixer, ode_portion,
+                        scale_nominal=bool(scale_nominal),
+                        use_warmup_tx=use_warmup,
+                    )
+                )
                 step += 1
             train_time = time.time() - t_epoch
 

@@ -445,6 +445,38 @@ def _integrate_fixed(method, f, y0, ts, step_size, args):
 
 
 # ---------------------------------------------------------------------------
+# scipy_solver (host callback; reference name parity)
+# ---------------------------------------------------------------------------
+
+
+def _integrate_scipy(f, y0, ts, rtol, atol, args):
+    import numpy as _np
+
+    shape = y0.shape
+    f_jit = jax.jit(lambda t, y: f(t, y, args))
+
+    def host_solve(y0_host, ts_host):
+        from scipy.integrate import solve_ivp
+
+        def rhs(t, y_flat):
+            y = jnp.asarray(y_flat.reshape(shape), y0.dtype)
+            return _np.asarray(f_jit(jnp.asarray(t, y0.dtype), y)).reshape(-1)
+
+        sol = solve_ivp(
+            rhs, (float(ts_host[0]), float(ts_host[-1])),
+            _np.asarray(y0_host).reshape(-1),
+            t_eval=_np.asarray(ts_host, _np.float64),
+            rtol=float(rtol), atol=float(atol), method="RK45",
+        )
+        return sol.y.T.reshape((len(ts_host),) + shape).astype(_np.float32)
+
+    out_shape = jax.ShapeDtypeStruct((ts.shape[0],) + shape, jnp.float32)
+    ys = jax.pure_callback(host_solve, out_shape, y0, ts)
+    zero = jnp.asarray(0, jnp.int32)
+    return OdeSolution(ys, zero, zero, zero)
+
+
+# ---------------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------------
 
@@ -482,6 +514,11 @@ def odeint(
     Returns: OdeSolution(ys, nfe, n_accepted, n_rejected)
     """
     ts = jnp.asarray(ts, y0.dtype)
+    if method == "scipy_solver":
+        # host-side scipy RK45 via pure_callback (reference solver-name
+        # parity, pl_modules.py:18-19; debugging/cross-checking only — on
+        # TPU every call round-trips to the host)
+        return _integrate_scipy(f, y0, ts, rtol, atol, args)
     if method in FIXED_SOLVERS:
         if step_size is None:
             raise ValueError(f"fixed-step method {method!r} needs step_size")

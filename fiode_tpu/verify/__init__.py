@@ -1,0 +1,9 @@
+from .certify import Certifier, CertifyResult
+from .crown import crown_mlp_bounds, ibp_mlp_bounds, relu_relaxation
+from .grid import (
+    count_decision_boundary,
+    enumerate_decision_boundary,
+    grid_for_label,
+)
+from .ibp_qp import ibp_cbf_qp, ibp_sigmoid, worst_case_vdot
+from .interval import IV, iv

@@ -115,6 +115,16 @@ class TestAdaptive:
         assert int(s1.nfe) == int(s2.nfe)
 
 
+class TestScipySolver:
+    def test_scipy_solver_parity(self):
+        sol = odeint(
+            f_decay, Y0, TS, method="scipy_solver", rtol=1e-6, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(sol.ys[-1]), np.exp(-1.0) * np.ones((4, 3)), atol=1e-4
+        )
+
+
 class TestFixed:
     @pytest.mark.parametrize(
         "method,tol",

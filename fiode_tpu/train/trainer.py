@@ -34,7 +34,7 @@ import optax
 
 from ..attacks.pgd import pgd_attack
 from ..models.ivp import NeuralODEClassifier
-from ..parallel.mesh import data_sharding, make_mesh, replicate, shard_batch
+from ..parallel.mesh import make_mesh, replicate, shard_batch
 from ..utils.checkpoint import CheckpointManager
 from ..utils.logging import MetricWriter
 from .data import Dataset, augment_batch
@@ -382,11 +382,15 @@ class LyapunovTrainer:
         cfg = self.cfg
         model = self.model
 
-        def predict(params, x):
-            return model.output_fn(
-                model.solve(params, x, mode="while").ys[-1],
-                params.get("output"),
+        def predict_with_nfe(params, x):
+            sol = model.solve(params, x, mode="while")
+            return (
+                model.output_fn(sol.ys[-1], params.get("output")),
+                sol.nfe,
             )
+
+        def predict(params, x):
+            return predict_with_nfe(params, x)[0]
 
         def predict_diff(params, x):
             return model.output_fn(
@@ -396,7 +400,7 @@ class LyapunovTrainer:
 
         @jax.jit
         def eval_step(params, key, x, y):
-            probs = predict(params, x)
+            probs, nfe = predict_with_nfe(params, x)
             err = jnp.mean((jnp.argmax(probs, -1) != y).astype(jnp.float32))
             if cfg.simplex:
                 logp = jnp.log(jnp.clip(probs, 1e-12))
@@ -433,6 +437,7 @@ class LyapunovTrainer:
                 "validation_adv_error": err_adv,
                 "simplex_min": jnp.min(probs),
                 "simplex_max": jnp.max(probs),
+                "val_nfe": nfe.astype(jnp.float32),
             }
 
         return eval_step

@@ -1,0 +1,52 @@
+"""Experiment-level end-to-end: train via composed config, restore the best
+checkpoint, certify and attack through the same plumbing the CLI uses."""
+import numpy as np
+import pytest
+from pathlib import Path
+
+from fiode_tpu.utils.config import compose
+
+REPO = Path(__file__).resolve().parents[1]
+
+TINY_OVERRIDES = [
+    "++batch_size=32",
+    "++val_batch_size=64",
+    "++module.h_sample_size=8",
+    "++module.max_epochs=1",
+    "+module/init_fun/param_map@module.init_fun.param_map=TinyMLP",
+    "++module.init_fun.param_map.out_dim=10",
+    "++module.dynamics.mlp_size=32",
+]
+
+
+class TestExperimentE2E:
+    def test_train_certify_attack(self, tmp_path):
+        from fiode_tpu.experiment import run_autoattack, run_certify, run_train
+
+        overrides = TINY_OVERRIDES + ["++data_root=" + str(tmp_path / "none")]
+        cfg = compose(
+            "mnist_train.yaml", overrides,
+            str(REPO / "configs/classification"),
+        )
+        run_dir = str(tmp_path / "run")
+        run_train(cfg, run_dir=run_dir, epochs=1)
+
+        # certification through checkpoint restore (T small for test speed)
+        cert_cfg = dict(
+            cfg, T=6, eps=0.1, start_ind=0, end_ind=4,
+        )
+        res = run_certify(cert_cfg, method="lipschitz", run_dir=run_dir,
+                          max_images=4)
+        assert res.clean.shape == (4,)
+        assert (~res.certified | res.clean).all()
+
+        res_c = run_certify(cert_cfg, method="crown", run_dir=run_dir,
+                            max_images=2)
+        assert res_c.clean.shape == (2,)
+
+        # attack through the same restore path (tiny budget)
+        acc = run_autoattack(
+            cert_cfg, run_dir=run_dir, max_images=32,
+            attacks=("apgd-ce",),
+        )
+        assert 0.0 <= acc <= 1.0

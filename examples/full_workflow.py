@@ -97,10 +97,12 @@ def main():
 
     # ---- 4. AutoAttack (README.md:51) ---------------------------------------
     t0 = time.time()
+    # attack-time horizon t_max=0.1 (the reference's AutoAttack protocol,
+    # README.md:51) — attacks through the solve scale with integration depth
     robust = tr.test_autoattack(
         params, jax.random.PRNGKey(3), attacks=("apgd-ce", "apgd-t"),
         max_batches=max(1, args.attack_images // tr.cfg.val_batch_size),
-        n_iter=20,
+        n_iter=20, t_max=0.1, max_steps=16,
     )
     results["autoattack"] = robust
     results["attack_seconds"] = time.time() - t0

@@ -23,7 +23,6 @@ examples with per-example step sizes.
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

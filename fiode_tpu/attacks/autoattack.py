@@ -16,7 +16,6 @@ from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .apgd import apgd_ce, apgd_targeted
 from .fab import fab_targeted

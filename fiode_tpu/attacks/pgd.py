@@ -12,7 +12,7 @@ objective contains — including the ODE solve (scan-mode odeint).
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

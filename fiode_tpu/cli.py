@@ -16,9 +16,6 @@ control/train_segway.py, control/certify_segway.py)
 from __future__ import annotations
 
 import argparse
-import sys
-from pathlib import Path
-
 from .utils.config import compose
 
 CONFIG_DIRS = {

@@ -9,10 +9,8 @@ CPU-side, exactly as the reference does.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -21,13 +21,11 @@ representative parameters (documented below), exposing the same API:
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 
 from ..ode.integrate import odeint
-from ..verify.interval import IV, iv
+from ..verify.interval import IV
 
 __all__ = ["Segway"]
 

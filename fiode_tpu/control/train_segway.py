@@ -14,7 +14,6 @@ Rebuild of control/train_segway.py:23-216, TPU-first:
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional
 
 import jax
@@ -24,7 +23,7 @@ import optax
 
 from ..attacks.pgd import pgd_attack
 from ..utils.checkpoint import save_pytree
-from .controllers import LinearController, NNController, NNControllerModule, lqr_gain
+from .controllers import LinearController, NNController, lqr_gain
 from .lyapunov_ctrl import LyaQuadratic
 from .samplers import grid_uniform_3d, random_uniform
 from .systems import Segway

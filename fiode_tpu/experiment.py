@@ -27,7 +27,6 @@ from .train.schedulers import (
     SwitchScheduler,
 )
 from .train.trainer import LyapunovTrainer, TrainConfig
-from .utils.logging import MetricWriter
 
 __all__ = [
     "build_model",
@@ -83,6 +82,9 @@ def build_model(cfg: dict) -> NeuralODEClassifier:
         method=m.get("val_ode_solver", "dopri5"),
         rtol=float(m.get("val_ode_tol", 1e-3)),
         atol=float(m.get("val_ode_tol", 1e-3)),
+        # generous bound on adaptive steps: dopri5 @ tol 1e-3, t_max <= 5
+        # needs <~20; a tight bound keeps the differentiable scan path cheap
+        max_steps=int(m.get("max_steps", 64)),
     )
 
 

@@ -17,7 +17,6 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from .layers import (
     CayleyConv,

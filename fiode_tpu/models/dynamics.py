@@ -22,7 +22,7 @@ CROWN/IBP bound helpers over this graph live in fiode_tpu/verify.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax

@@ -20,7 +20,7 @@ use_adjoint=True for the continuous adjoint with input-only cotangents
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax

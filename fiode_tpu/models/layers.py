@@ -21,7 +21,7 @@ Capability parity with the reference's layer zoo:
 """
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax

@@ -15,10 +15,7 @@ dynamics/init_coordinates.py:26-27).
 """
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 __all__ = ["ConvBlockDynamics", "DynBasicBlock", "DynBottleneck", "ResNetOutput"]

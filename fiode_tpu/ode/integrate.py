@@ -25,15 +25,12 @@ tensors); wrap pytrees with `jax.flatten_util.ravel_pytree` if needed.
 """
 from __future__ import annotations
 
-import dataclasses
-import functools
 from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from .tableaus import ADAPTIVE_SOLVERS, FIXED_SOLVERS, Tableau, get_tableau
+from .tableaus import FIXED_SOLVERS, Tableau, get_tableau
 
 __all__ = ["odeint", "OdeSolution", "rms_error_ratio"]
 

@@ -26,9 +26,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from .simplex_qp import simplex_cone_project
 
 LANE = 128
 

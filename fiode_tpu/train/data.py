@@ -22,11 +22,10 @@ from __future__ import annotations
 
 import dataclasses
 import gzip
-import os
 import pickle
 import struct
 from pathlib import Path
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -129,7 +128,7 @@ def _load_cifar10(root: Path):
     return None
 
 
-def _synthetic(name: str, n_train=512, n_test=256, seed=0):
+def _synthetic(name: str, n_train=4096, n_test=512, seed=0):
     """Deterministic class-structured fake data (per-class gaussian blobs)."""
     c, hw, ncls, _, _ = DATASET_INFO[name]
     rng = np.random.default_rng(seed)

@@ -17,7 +17,7 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..models.backbones import KWLargeBackbone, PlainCNNBackbone, TinyMLPBackbone
+from ..models.backbones import PlainCNNBackbone, TinyMLPBackbone
 from ..ops.power_iteration import power_iteration_conv, power_iteration_dense
 
 __all__ = ["lfx_spec", "lfx_init", "compute_lfx"]

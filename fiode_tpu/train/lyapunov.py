@@ -16,7 +16,7 @@ activations (:456-461), the optional barrier loss on the raw MLP vs the
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, NamedTuple, Optional
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

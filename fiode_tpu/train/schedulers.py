@@ -7,7 +7,7 @@ to the jitted train step as a plain array (no recompilation).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 

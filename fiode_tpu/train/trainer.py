@@ -25,7 +25,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import time
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -622,12 +622,26 @@ class LyapunovTrainer:
             self.writer.console(f"[plot] skipped: {e}")
 
     def test_autoattack(self, params, key, attacks=("apgd-ce", "apgd-t"),
-                        max_batches=None, n_iter=100):
+                        max_batches=None, n_iter=100, t_max=None,
+                        max_steps=32):
         """Test-time AutoAttack evaluation (reference test_step,
-        pl_modules.py:222-244: apgd-ce + apgd-t at eps/norm)."""
+        pl_modules.py:222-244: apgd-ce + apgd-t at eps/norm).
+
+        ``t_max`` shortens the attack-time integration horizon (the
+        reference evaluates AutoAttack at t_max=0.1, README.md:51 /
+        eval_autoattack protocol) — attacks through the ODE are dominated by
+        solve depth."""
+        import dataclasses as _dc
+
         from ..attacks.autoattack import AutoAttackSuite
 
         model = self.model
+        if t_max is not None or max_steps is not None:
+            model = _dc.replace(
+                model,
+                t_max=t_max if t_max is not None else model.t_max,
+                max_steps=max_steps if max_steps is not None else model.max_steps,
+            )
 
         def logits_fn(x):
             return model.output_fn(

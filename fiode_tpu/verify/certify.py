@@ -21,9 +21,8 @@ Certificate per image (clean-correct required first):
 from __future__ import annotations
 
 import dataclasses
-import functools
 import time
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -221,22 +220,27 @@ class Certifier:
         progress_every: int = 0,
     ) -> CertifyResult:
         n_imgs = len(images)
-        clean = np.zeros(n_imgs, bool)
         certified = np.zeros(n_imgs, bool)
         larger_T_certified = np.zeros(n_imgs, bool)
         cells_checked = 0
-        t0 = time.time()
         Ws = [jnp.asarray(W) for W in self.Ws]
         bs = [jnp.asarray(b) for b in self.bs]
 
+        # batched clean checks + feature extraction up front (one solve for
+        # all images instead of the reference's per-image forward,
+        # certify_crown.py:126-130)
+        preds = np.asarray(self._predict(self.params, jnp.asarray(images)))
+        clean = preds == np.asarray(labels)
+        all_feats = np.asarray(
+            self._features(self.params, jnp.asarray(images))
+        )
+        t0 = time.time()
+
         for i in range(n_imgs):
-            x = jnp.asarray(images[i : i + 1])
             label = int(labels[i])
-            pred = int(self._predict(self.params, x)[0])
-            clean[i] = pred == label
             if not clean[i]:
                 continue
-            feats = self._features(self.params, x)[0]
+            feats = jnp.asarray(all_feats[i])
             ok = True
             ok_larger = True
             if method == "crown":

@@ -24,7 +24,7 @@ CROWN must be at least as tight, and both must contain sampled values).
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

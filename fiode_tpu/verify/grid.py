@@ -12,8 +12,6 @@ demand with g++ -O3 and loaded over ctypes) with a pure-NumPy fallback.
 from __future__ import annotations
 
 import ctypes
-import math
-import os
 import subprocess
 from functools import lru_cache
 from pathlib import Path

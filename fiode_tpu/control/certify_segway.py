@@ -41,6 +41,7 @@ class SegwayCertifyResult:
     n_cells: int
     level_lb: float
     level_ub: float
+    exact_vdot_max: float = float("nan")
     traj_max_level_drift: Optional[float] = None
 
 
@@ -98,9 +99,16 @@ def certify_segway(
     @jax.jit
     def chunk_ub(cells, valid):
         _, ub = vdot_cell_bounds(system, Ws, bs, P, cells, r / 2)
-        return jnp.max(jnp.where(valid, ub, -jnp.inf))
+        # exact Vdot at the cell centers: separates "training failed"
+        # (exact > 0) from "bound too loose" (exact <= 0 < ub)
+        exact = lya.h_dot(cells, system(cells, ctrl(cells)))[:, 0]
+        return (
+            jnp.max(jnp.where(valid, ub, -jnp.inf)),
+            jnp.max(jnp.where(valid, exact, -jnp.inf)),
+        )
 
     ub_max = -np.inf
+    exact_max = -np.inf
     for i in range(0, n_cells, chunk):
         blk = eta[i : i + chunk]
         valid = np.ones(len(blk), bool)
@@ -108,12 +116,14 @@ def certify_segway(
             pad = chunk - len(blk)
             blk = np.concatenate([blk, np.zeros((pad, 3), np.float32)])
             valid = np.concatenate([valid, np.zeros(pad, bool)])
-        ub_max = max(ub_max, float(chunk_ub(jnp.asarray(blk), jnp.asarray(valid))))
+        u, e = chunk_ub(jnp.asarray(blk), jnp.asarray(valid))
+        ub_max = max(ub_max, float(u))
+        exact_max = max(exact_max, float(e))
     certified = ub_max <= 0.0
     if verbose:
         print(
             f"[certify_segway] cells={n_cells} ub.max={ub_max:.5f} "
-            f"certified={certified}"
+            f"exact.max={exact_max:.5f} certified={certified}"
         )
 
     drift = None
@@ -139,6 +149,7 @@ def certify_segway(
     return SegwayCertifyResult(
         ub_max=ub_max,
         certified=certified,
+        exact_vdot_max=exact_max,
         n_cells=n_cells,
         level_lb=level_lb,
         level_ub=level_ub,

@@ -106,13 +106,17 @@ class TestAdaptive:
         # dopri5 at tol 1e-3 on a smooth 1-D decay: expect O(10) steps
         assert 8 <= int(sol.nfe) <= 120
 
-    def test_while_and_scan_agree(self):
+    def test_while_scan_chunked_agree(self):
         s1 = _run_decay(Y0, "while")
         s2 = _run_decay(Y0, "scan")
+        s3 = _run_decay(Y0, "chunked")
         np.testing.assert_allclose(
             np.asarray(s1.ys[-1]), np.asarray(s2.ys[-1]), atol=1e-5
         )
-        assert int(s1.nfe) == int(s2.nfe)
+        np.testing.assert_allclose(
+            np.asarray(s1.ys[-1]), np.asarray(s3.ys[-1]), atol=1e-5
+        )
+        assert int(s1.nfe) == int(s2.nfe) == int(s3.nfe)
 
 
 class TestScipySolver:

@@ -113,8 +113,11 @@ def _build_scheduler(cfg: dict) -> Optional[CompositeSamplerScheduler]:
 
 def build_trainer(cfg: dict, run_dir: Optional[str] = None) -> LyapunovTrainer:
     m = cfg["module"]
-    ds = load_dataset(cfg["dataset"]["name"], cfg.get("data_root", "data"),
-                      seed=int(cfg.get("seed", 0)))
+    ds = load_dataset(
+        cfg["dataset"]["name"], cfg.get("data_root", "data"),
+        seed=int(cfg.get("seed", 0)),
+        synthetic_size=int(cfg.get("synthetic_size", 4096)),
+    )
     model = build_model(cfg)
     sampler_nodes = _ordered_callbacks(cfg, "_sampler_callback_dict")
     sampler_names = tuple(n["target"] for n in sampler_nodes) or (

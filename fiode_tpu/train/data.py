@@ -151,6 +151,7 @@ def load_dataset(
     val_fraction: float = 0.1,
     seed: int = 0,
     allow_synthetic: bool = True,
+    synthetic_size: int = 4096,
 ) -> Dataset:
     root = Path(data_root)
     raw = None
@@ -169,7 +170,8 @@ def load_dataset(
     if raw is None:
         if not allow_synthetic:
             raise FileNotFoundError(f"no {name} files under {root}")
-        raw = _synthetic(name)
+        raw = _synthetic(name, n_train=synthetic_size,
+                         n_test=max(synthetic_size // 8, 64))
         synthetic = True
     tx, ty, sx, sy = raw
 

@@ -67,6 +67,7 @@ class TestExperimentBuild:
             "mnist_train.yaml",
             [
                 "++batch_size=32",
+                "++synthetic_size=512",
                 "++val_batch_size=64",
                 "++module.h_sample_size=8",
                 "++module.max_epochs=1",

@@ -10,6 +10,7 @@ REPO = Path(__file__).resolve().parents[1]
 
 TINY_OVERRIDES = [
     "++batch_size=32",
+    "++synthetic_size=512",
     "++val_batch_size=64",
     "++module.h_sample_size=8",
     "++module.max_epochs=1",

@@ -50,7 +50,7 @@ class TestTestAutoattack:
         from fiode_tpu.train.data import load_dataset
         from fiode_tpu.train.trainer import LyapunovTrainer, TrainConfig
 
-        ds = load_dataset("MNIST", data_root=str(tmp_path / "none"))
+        ds = load_dataset("MNIST", data_root=str(tmp_path / "none"), synthetic_size=512)
         dyn = SimplexDynamics(n_hidden=10, mlp_size=16, x_dim=10,
                               dropout=0.0, cayley=False)
         model = NeuralODEClassifier(

@@ -12,7 +12,7 @@ from fiode_tpu.train.trainer import LyapunovTrainer, TrainConfig
 
 
 def make(tmp_path, sub, **kw):
-    ds = load_dataset("MNIST", data_root=str(tmp_path / "none"))
+    ds = load_dataset("MNIST", data_root=str(tmp_path / "none"), synthetic_size=512)
     dyn = SimplexDynamics(n_hidden=10, mlp_size=32, x_dim=10, dropout=0.0,
                           cayley=False, kappa=2.0, kappa_length=100)
     model = NeuralODEClassifier(
@@ -41,11 +41,11 @@ class TestMultiStep:
         v1 = tr1.evaluate(p1, jax.random.PRNGKey(9))
         v4 = tr4.evaluate(p4, jax.random.PRNGKey(9))
         assert abs(v1["validation_error"] - v4["validation_error"]) < 0.25
-        # grouped + flushed steps cover every batch (461 train samples /
-        # 64 batch = 7 steps: one group of 4 + 3 flushed singles)
+        # grouped + flushed steps cover every batch
+        n_steps = len(tr1.ds.train_x) // tr1.cfg.batch_size
         recs1 = [json.loads(l) for l in open(tmp_path / "a" / "metrics.jsonl")]
         steps1 = [r["step"] for r in recs1 if "training_loss" in r]
-        assert steps1[-1] == 6  # logged every step
+        assert steps1[-1] == n_steps - 1  # logged every step
         recs4 = [json.loads(l) for l in open(tmp_path / "b" / "metrics.jsonl")]
         steps4 = [r["step"] for r in recs4 if "training_loss" in r]
         assert steps4 and steps4[0] == 0

@@ -16,7 +16,7 @@ from fiode_tpu.train.trainer import LyapunovTrainer, TrainConfig
 
 
 def make_trainer(tmp_path, **cfg_kw):
-    ds = load_dataset("MNIST", data_root=str(tmp_path / "nope"))
+    ds = load_dataset("MNIST", data_root=str(tmp_path / "nope"), synthetic_size=512)
     dyn = SimplexDynamics(
         n_hidden=10, mlp_size=32, x_dim=10, dropout=0.1,
         alpha_1=100.0, alpha_2=20.0, sigma_1=0.02, kappa=2.0,

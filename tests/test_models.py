@@ -43,6 +43,33 @@ class TestCayley:
         ny = np.linalg.norm(np.asarray(y).reshape(2, -1), axis=-1)
         np.testing.assert_allclose(ny, nx, rtol=1e-4)
 
+    def test_cayley_conv_dft_matches_fft(self):
+        # the MXU DFT-matmul path must agree with the fft reference path in
+        # value and gradient, including odd spatial sizes and both channel
+        # orientations (libs/ortho_conv semi-orthogonal construction)
+        from fiode_tpu.ops.cayley import cayley_conv_apply
+
+        rng = np.random.default_rng(0)
+        for co, ci, k, n in ((5, 3, 3, 8), (4, 6, 2, 8), (4, 3, 3, 7)):
+            W = jnp.asarray(rng.normal(0, 0.1, (co, ci, k, k)).astype(np.float32))
+            x = jnp.asarray(rng.normal(0, 1, (4, ci, n, n)).astype(np.float32))
+            a = jax.jit(
+                lambda x, W: cayley_conv_apply(x, W, jnp.float32(1.2), impl="fft")
+            )(x, W)
+            b = jax.jit(
+                lambda x, W: cayley_conv_apply(x, W, jnp.float32(1.2), impl="dft")
+            )(x, W)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+            ga = jax.grad(
+                lambda W: cayley_conv_apply(x, W, jnp.float32(1.2), impl="fft").sum()
+            )(W)
+            gb = jax.grad(
+                lambda W: cayley_conv_apply(x, W, jnp.float32(1.2), impl="dft").sum()
+            )(W)
+            np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-4)
+        with pytest.raises(ValueError):
+            cayley_conv_apply(x, W, jnp.float32(1.0), impl="nope")
+
     def test_cayley_conv_stride2_nonexpansive(self):
         layer = CayleyConv(32, 4, stride=2, use_bias=False)
         x = jax.random.normal(jax.random.PRNGKey(6), (2, 8, 16, 16))

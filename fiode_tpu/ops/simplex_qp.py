@@ -44,11 +44,17 @@ __all__ = [
 ]
 
 
-def _bisect_mu(sum_at, mu_lo, mu_hi, n_iter: int):
+def _bisect_mu(sum_at, mu_lo, mu_hi, n_iter: int, unroll: bool = False):
     """Bisection for the root of the monotone-decreasing map mu -> sum_at(mu).
 
     ``sum_at(mu_lo) >= 0 >= sum_at(mu_hi)`` must hold for the initial bracket.
     Returns the midpoint after ``n_iter`` halvings.  All shapes are (batch, 1).
+
+    ``unroll=True`` flattens the loop into the surrounding graph so XLA fuses
+    all iterations into one elementwise kernel — on TPU the rolled loop pays
+    per-iteration while-op overhead that dominates at small batch*n (3x on
+    the certification sweep); leave rolled inside large traced programs where
+    compile time matters more.
     """
 
     def body(_, carry):
@@ -60,7 +66,13 @@ def _bisect_mu(sum_at, mu_lo, mu_hi, n_iter: int):
         hi = jnp.where(s < 0, mid, hi)
         return lo, hi
 
-    lo, hi = jax.lax.fori_loop(0, n_iter, body, (mu_lo, mu_hi))
+    if unroll:
+        carry = (mu_lo, mu_hi)
+        for _ in range(n_iter):
+            carry = body(None, carry)
+        lo, hi = carry
+    else:
+        lo, hi = jax.lax.fori_loop(0, n_iter, body, (mu_lo, mu_hi))
     return 0.5 * (lo + hi)
 
 
@@ -71,7 +83,7 @@ def _bisect_mu(sum_at, mu_lo, mu_hi, n_iter: int):
 # ---------------------------------------------------------------------------
 
 
-def cone_project_mu(lower, nominal, n_iter: int = 30):
+def cone_project_mu(lower, nominal, n_iter: int = 30, unroll: bool = False):
     """Return the dual optimum mu for the no-upper projection (no grad)."""
     mu_hi = jnp.max(nominal - lower, axis=-1, keepdims=True)
     mu_lo = jnp.min(nominal, axis=-1, keepdims=True)
@@ -79,32 +91,34 @@ def cone_project_mu(lower, nominal, n_iter: int = 30):
     def sum_at(mu):
         return jnp.sum(jnp.maximum(nominal - mu, lower), axis=-1, keepdims=True)
 
-    return _bisect_mu(sum_at, mu_lo, mu_hi, n_iter)
+    return _bisect_mu(sum_at, mu_lo, mu_hi, n_iter, unroll)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def simplex_cone_project(lower, nominal, n_iter: int = 30):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def simplex_cone_project(lower, nominal, n_iter: int = 30,
+                         unroll: bool = False):
     """Project ``nominal`` onto {v : sum(v)=0, v >= lower}.
 
     Args:
       lower:   (..., n) elementwise lower bound (must admit sum(lower) <= 0).
       nominal: (..., n) point to project.
       n_iter:  bisection iterations (static).
+      unroll:  flatten the bisection into the graph (see _bisect_mu).
 
     Returns:
       (..., n) projected velocity v*.
     """
-    mu = cone_project_mu(lower, nominal, n_iter)
+    mu = cone_project_mu(lower, nominal, n_iter, unroll)
     return jnp.maximum(nominal - mu, lower)
 
 
-def _cone_fwd(lower, nominal, n_iter):
-    mu = cone_project_mu(lower, nominal, n_iter)
+def _cone_fwd(lower, nominal, n_iter, unroll):
+    mu = cone_project_mu(lower, nominal, n_iter, unroll)
     v = jnp.maximum(nominal - mu, lower)
     return v, (v, mu, lower, nominal)
 
 
-def _cone_bwd(n_iter, res, g):
+def _cone_bwd(n_iter, unroll, res, g):
     v, mu, lower, nominal = res
     # Active set = the branch the clamp took.  (Equivalent to the KKT
     # multiplier sign lambda = v - nominal + mu > 0 used by the reference at
@@ -134,7 +148,8 @@ simplex_cone_project.defvjp(_cone_fwd, _cone_bwd)
 # ---------------------------------------------------------------------------
 
 
-def box_project_mu(lower, upper, nominal, n_iter: int = 30):
+def box_project_mu(lower, upper, nominal, n_iter: int = 30,
+                   unroll: bool = False):
     """Return the dual optimum mu for the two-sided projection (no grad)."""
     mu_hi = jnp.max(nominal - lower, axis=-1, keepdims=True)
     mu_lo = jnp.min(nominal - upper, axis=-1, keepdims=True)
@@ -144,23 +159,24 @@ def box_project_mu(lower, upper, nominal, n_iter: int = 30):
             jnp.clip(nominal - mu, lower, upper), axis=-1, keepdims=True
         )
 
-    return _bisect_mu(sum_at, mu_lo, mu_hi, n_iter)
+    return _bisect_mu(sum_at, mu_lo, mu_hi, n_iter, unroll)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def simplex_box_project(lower, upper, nominal, n_iter: int = 30):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def simplex_box_project(lower, upper, nominal, n_iter: int = 30,
+                        unroll: bool = False):
     """Project ``nominal`` onto {v : sum(v)=0, lower <= v <= upper}."""
-    mu = box_project_mu(lower, upper, nominal, n_iter)
+    mu = box_project_mu(lower, upper, nominal, n_iter, unroll)
     return jnp.clip(nominal - mu, lower, upper)
 
 
-def _box_fwd(lower, upper, nominal, n_iter):
-    mu = box_project_mu(lower, upper, nominal, n_iter)
+def _box_fwd(lower, upper, nominal, n_iter, unroll):
+    mu = box_project_mu(lower, upper, nominal, n_iter, unroll)
     v = jnp.clip(nominal - mu, lower, upper)
     return v, (v, mu, lower, upper, nominal)
 
 
-def _box_bwd(n_iter, res, g):
+def _box_bwd(n_iter, unroll, res, g):
     v, mu, lower, upper, nominal = res
     # Branch-taken active sets (see _cone_bwd for why not lambda signs).
     lower_active = (nominal - mu) < lower

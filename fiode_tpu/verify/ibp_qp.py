@@ -72,18 +72,25 @@ def ibp_cbf_qp(
     f_for_ub = jnp.where(eye[None], ub[:, None, :], lb[:, None, :])
 
     flat = lambda a: a.reshape(N * n, n)
+    # unroll=True: the bisection fuses into one elementwise kernel — the
+    # rolled while-op's per-iteration overhead dominated the whole
+    # certification sweep (3x) at these row counts
     if with_upper:
         upper_lb = alpha_2 * (1.0 - h_for_lb)
         upper_ub = alpha_2 * (1.0 - h_for_ub)
         v_lb = simplex_box_project(
-            flat(lower_lb), flat(upper_lb), flat(f_for_lb), qp_iters
+            flat(lower_lb), flat(upper_lb), flat(f_for_lb), qp_iters, True
         )
         v_ub = simplex_box_project(
-            flat(lower_ub), flat(upper_ub), flat(f_for_ub), qp_iters
+            flat(lower_ub), flat(upper_ub), flat(f_for_ub), qp_iters, True
         )
     else:
-        v_lb = simplex_cone_project(flat(lower_lb), flat(f_for_lb), qp_iters)
-        v_ub = simplex_cone_project(flat(lower_ub), flat(f_for_ub), qp_iters)
+        v_lb = simplex_cone_project(
+            flat(lower_lb), flat(f_for_lb), qp_iters, True
+        )
+        v_ub = simplex_cone_project(
+            flat(lower_ub), flat(f_for_ub), qp_iters, True
+        )
 
     idx = jnp.arange(n)
     f_lb = v_lb.reshape(N, n, n)[:, idx, idx]

@@ -71,6 +71,28 @@ _box_grad = jax.jit(jax.grad(_box_loss, argnums=(0, 1, 2)))
 
 
 class TestConeProjection:
+    def test_unrolled_bisection_bitwise_equal(self):
+        # unroll=True flattens the same iteration sequence into the graph
+        # (used by the certification sweep); values and grads must match
+        rng = np.random.default_rng(7)
+        lower, nominal = make_problem(rng, batch=32)
+        a = np.asarray(_cone(lower, nominal))
+        b = np.asarray(
+            jax.jit(lambda l, n: simplex_cone_project(l, n, 30, True))(
+                lower, nominal
+            )
+        )
+        np.testing.assert_array_equal(a, b)
+        g0 = jax.grad(
+            lambda l, n: jnp.sum(jnp.sin(simplex_cone_project(l, n)) * _w)
+        )(jnp.asarray(lower), jnp.asarray(nominal))
+        g1 = jax.grad(
+            lambda l, n: jnp.sum(
+                jnp.sin(simplex_cone_project(l, n, 30, True)) * _w
+            )
+        )(jnp.asarray(lower), jnp.asarray(nominal))
+        np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
+
     def test_feasibility_optimality_idempotence(self):
         rng = np.random.default_rng(0)
         lower, nominal = make_problem(rng, batch=64)

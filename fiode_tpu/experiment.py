@@ -200,7 +200,7 @@ def _restore_params(cfg, model, run_dir):
         (1, int(cfg["dataset"]["IN_CHANNEL"]), *cfg["dataset"]["IMG_SIZE"]),
         jnp.float32,
     )
-    like_params = model.init(jax.random.PRNGKey(0), x0)
+    like_params = jax.jit(model.init)(jax.random.PRNGKey(0), x0)
     ckpt = CheckpointManager(run_dir)
     state = ckpt.restore(
         "best",
@@ -252,6 +252,7 @@ def run_autoattack(cfg: dict, run_dir: str = ".", max_images=None,
     if max_images:
         xs, ys = xs[:max_images], ys[:max_images]
 
+    @jax.jit
     def logits_fn(x):
         return model.output_fn(
             model.solve(params, x, mode="scan").ys[-1], params.get("output")

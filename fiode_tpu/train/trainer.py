@@ -471,7 +471,10 @@ class LyapunovTrainer:
         key = jax.random.PRNGKey(cfg.seed)
 
         x0 = jnp.asarray(self.ds.train_x[: cfg.batch_size])
-        params = self.model.init(jax.random.PRNGKey(cfg.seed), x0)
+        # jit the flax init: eager init dispatches hundreds of ops one by one
+        # (~100ms each through the TPU relay, and eager op streams are where
+        # the relay's sporadic UNIMPLEMENTED errors surface)
+        params = jax.jit(self.model.init)(jax.random.PRNGKey(cfg.seed), x0)
         params = replicate(self.mesh, params)
         use_warmup = cfg.warmup > 0
         tx = self.warmup_tx if use_warmup else self.main_tx
@@ -643,6 +646,9 @@ class LyapunovTrainer:
                 max_steps=max_steps if max_steps is not None else model.max_steps,
             )
 
+        # jitted: the suite also calls this eagerly for clean/robust checks,
+        # and eager op streams trip the TPU relay (see CLAUDE.md)
+        @jax.jit
         def logits_fn(x):
             return model.output_fn(
                 model.solve(params, x, mode="scan").ys[-1],

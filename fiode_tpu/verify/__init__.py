@@ -5,5 +5,11 @@ from .grid import (
     enumerate_decision_boundary,
     grid_for_label,
 )
-from .ibp_qp import ibp_cbf_qp, ibp_sigmoid, worst_case_vdot
+from .ibp_qp import (
+    ibp_cbf_qp,
+    ibp_cbf_qp_band,
+    ibp_cbf_qp_individual,
+    ibp_sigmoid,
+    worst_case_vdot,
+)
 from .interval import IV, iv

@@ -22,7 +22,13 @@ import jax.numpy as jnp
 
 from ..ops.simplex_qp import simplex_box_project, simplex_cone_project
 
-__all__ = ["ibp_sigmoid", "ibp_cbf_qp", "worst_case_vdot"]
+__all__ = [
+    "ibp_sigmoid",
+    "ibp_cbf_qp",
+    "ibp_cbf_qp_band",
+    "ibp_cbf_qp_individual",
+    "worst_case_vdot",
+]
 
 
 def ibp_sigmoid(f_lb, f_ub, h_lb, h_ub, alpha_1, sigma_1, alpha_2):
@@ -38,33 +44,42 @@ def ibp_sigmoid(f_lb, f_ub, h_lb, h_ub, alpha_1, sigma_1, alpha_2):
     return out_lb, out_ub
 
 
-def ibp_cbf_qp(
-    h, eps, lb, ub, alpha_1, sigma_1, alpha_2, *, with_upper=False, qp_iters=30
+def ibp_cbf_qp_band(
+    h_lb, h_ub, lb, ub, alpha_1, sigma_1, alpha_2, *, with_upper=False,
+    qp_iters=30,
 ):
-    """Worst-case per-coordinate bounds of QP(lower(h'), f~') over the box.
+    """Worst-case per-coordinate bounds of QP(lower(h'), f~') over an
+    explicit box [h_lb, h_ub] (the reference's ``ibp_cbf_qp_band``,
+    dynamics/classification.py:244-278).
 
     Args:
-      h:  (N, n) cell centers.
-      eps: box half-width.
+      h_lb/h_ub: (N, n) per-cell state box (a band certificate feeds CROWN
+        bounds of h itself here instead of center +- eps).
       lb/ub: (N, n) bounds of the raw dynamics f~ over the box (from CROWN).
-      with_upper: also constrain with the upper barrier (two-sided QP), as
-        the reference's ``upper=True`` branch.
+      with_upper: also constrain with the upper barrier; the reference's
+        ``upper=True`` branch switches to the LINEAR lower barrier
+        -alpha_1 * h (classification.py:219-223,259-263) — the two-sided QP
+        belongs to the linear-barrier dynamics variant.
 
     Returns (f_lb, f_ub), each (N, n): bounds of the *projected* dynamics.
     """
-    N, n = h.shape
+    N, n = h_lb.shape
     eye = jnp.eye(n, dtype=bool)
 
     # (N, n, n): row i = the box corner adversarial for coordinate i
-    h_minus = h[:, None, :] - eps  # all-low corner
-    h_plus = h[:, None, :] + eps
+    h_minus = h_lb[:, None, :]
+    h_plus = h_ub[:, None, :]
     # for f_i's LOWER bound: h_j at low end except h_i at high end
     h_for_lb = jnp.where(eye[None], h_plus, h_minus)
     # for f_i's UPPER bound: h_j at high end except h_i at low end
     h_for_ub = jnp.where(eye[None], h_minus, h_plus)
 
-    lower_lb = -alpha_1 * (jnp.exp(sigma_1 * h_for_lb) - 1.0)
-    lower_ub = -alpha_1 * (jnp.exp(sigma_1 * h_for_ub) - 1.0)
+    if with_upper:
+        lower_lb = -alpha_1 * h_for_lb
+        lower_ub = -alpha_1 * h_for_ub
+    else:
+        lower_lb = -alpha_1 * (jnp.exp(sigma_1 * h_for_lb) - 1.0)
+        lower_ub = -alpha_1 * (jnp.exp(sigma_1 * h_for_ub) - 1.0)
 
     # nominal: for f_i lower bound, f~_i at its lb, others at ub (push the
     # shared budget away from i); vice versa for the upper bound.
@@ -96,6 +111,37 @@ def ibp_cbf_qp(
     f_lb = v_lb.reshape(N, n, n)[:, idx, idx]
     f_ub = v_ub.reshape(N, n, n)[:, idx, idx]
     return f_lb, f_ub
+
+
+def ibp_cbf_qp(
+    h, eps, lb, ub, alpha_1, sigma_1, alpha_2, *, with_upper=False, qp_iters=30
+):
+    """Worst-case per-coordinate bounds of QP(lower(h'), f~') over the
+    center +- eps box (the reference's ``ibp_cbf_qp``,
+    dynamics/classification.py:208-242) — the band form with h +- eps."""
+    return ibp_cbf_qp_band(
+        h - eps, h + eps, lb, ub, alpha_1, sigma_1, alpha_2,
+        with_upper=with_upper, qp_iters=qp_iters,
+    )
+
+
+def ibp_cbf_qp_individual(
+    h, eps, lb, ub, alpha_1, sigma_1, alpha_2, qp_iters=30
+):
+    """Two-sided linear-barrier variant (``ibp_cbf_qp_individual``,
+    dynamics/classification.py:183-207).
+
+    The reference loops one QP per coordinate on a single cell with the
+    LINEAR barrier pair lower=-alpha_1 h', upper=alpha_2 (1-h') and the
+    two-sided solver; this is the batched equivalent (the n-per-cell loop
+    becomes one (N*n)-row solve).  sigma_1 is accepted for signature
+    symmetry but unused (linear barrier).
+    """
+    del sigma_1
+    return ibp_cbf_qp_band(
+        h - eps, h + eps, lb, ub, alpha_1, 0.0, alpha_2,
+        with_upper=True, qp_iters=qp_iters,
+    )
 
 
 def worst_case_vdot(eta, eps, f_lb, f_ub, label):

@@ -20,7 +20,12 @@ from fiode_tpu.verify.grid import (
     enumerate_decision_boundary,
     grid_for_label,
 )
-from fiode_tpu.verify.ibp_qp import ibp_cbf_qp, worst_case_vdot
+from fiode_tpu.verify.ibp_qp import (
+    ibp_cbf_qp,
+    ibp_cbf_qp_band,
+    ibp_cbf_qp_individual,
+    worst_case_vdot,
+)
 
 
 def reference_count(n, T):
@@ -152,6 +157,69 @@ class TestIbpQp:
             ft = lb + (ub - lb) * jax.random.uniform(k2, h.shape)
             lower, _ = barrier_bounds(hp, a1, s1, a2)
             v = np.asarray(simplex_cone_project(lower, ft, 40))
+            assert (v >= f_lb - 2e-3).all(), (v - f_lb).min()
+            assert (v <= f_ub + 2e-3).all(), (f_ub - v).min()
+
+    def test_band_matches_center_eps_form(self):
+        # ibp_cbf_qp(h, eps) must equal ibp_cbf_qp_band(h-eps, h+eps)
+        a1, a2, s1 = 100.0, 20.0, 0.02
+        h = jax.random.uniform(jax.random.PRNGKey(6), (8, 5))
+        h = h / h.sum(-1, keepdims=True)
+        mid = jax.random.normal(jax.random.PRNGKey(7), (8, 5))
+        lb, ub = mid - 0.2, mid + 0.2
+        eps = 0.03
+        f1 = ibp_cbf_qp(h, eps, lb, ub, a1, s1, a2)
+        f2 = ibp_cbf_qp_band(h - eps, h + eps, lb, ub, a1, s1, a2)
+        np.testing.assert_allclose(np.asarray(f1[0]), np.asarray(f2[0]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(f1[1]), np.asarray(f2[1]), atol=1e-6)
+
+    def test_band_asymmetric_box_soundness(self):
+        # an explicit non-centered band box: sampled projections must stay
+        # inside the band bounds (classification.py:244-278 semantics)
+        a1, a2, s1 = 100.0, 20.0, 0.02
+        h = jax.random.uniform(jax.random.PRNGKey(8), (8, 5))
+        h = h / h.sum(-1, keepdims=True)
+        h_lb, h_ub = h - 0.01, h + 0.05
+        mid = jax.random.normal(jax.random.PRNGKey(9), (8, 5))
+        lb, ub = mid - 0.3, mid + 0.3
+        f_lb, f_ub = jax.jit(
+            lambda: ibp_cbf_qp_band(h_lb, h_ub, lb, ub, a1, s1, a2)
+        )()
+        f_lb, f_ub = np.asarray(f_lb), np.asarray(f_ub)
+        key = jax.random.PRNGKey(10)
+        for _ in range(20):
+            key, k1, k2 = jax.random.split(key, 3)
+            hp = h_lb + (h_ub - h_lb) * jax.random.uniform(k1, h.shape)
+            ft = lb + (ub - lb) * jax.random.uniform(k2, h.shape)
+            lower, _ = barrier_bounds(hp, a1, s1, a2)
+            v = np.asarray(simplex_cone_project(lower, ft, 40))
+            assert (v >= f_lb - 2e-3).all(), (v - f_lb).min()
+            assert (v <= f_ub + 2e-3).all(), (f_ub - v).min()
+
+    def test_individual_two_sided_linear_barrier_soundness(self):
+        # the individual variant uses the LINEAR barrier pair and the
+        # two-sided QP (classification.py:183-207)
+        from fiode_tpu.ops.simplex_qp import simplex_box_project
+
+        a1, a2 = 100.0, 20.0
+        h = jax.random.uniform(jax.random.PRNGKey(11), (8, 5))
+        h = h / h.sum(-1, keepdims=True)
+        eps = 0.02
+        mid = jax.random.normal(jax.random.PRNGKey(12), (8, 5))
+        lb, ub = mid - 0.3, mid + 0.3
+        f_lb, f_ub = jax.jit(
+            lambda: ibp_cbf_qp_individual(h, eps, lb, ub, a1, 0.02, a2)
+        )()
+        f_lb, f_ub = np.asarray(f_lb), np.asarray(f_ub)
+        assert (f_lb <= f_ub + 1e-5).all()
+        key = jax.random.PRNGKey(13)
+        for _ in range(20):
+            key, k1, k2 = jax.random.split(key, 3)
+            hp = h + jax.random.uniform(k1, h.shape, minval=-eps, maxval=eps)
+            ft = lb + (ub - lb) * jax.random.uniform(k2, h.shape)
+            v = np.asarray(
+                simplex_box_project(-a1 * hp, a2 * (1.0 - hp), ft, 40)
+            )
             assert (v >= f_lb - 2e-3).all(), (v - f_lb).min()
             assert (v <= f_ub + 2e-3).all(), (f_ub - v).min()
 

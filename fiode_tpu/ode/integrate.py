@@ -177,10 +177,16 @@ def _integrate_adaptive_while(tab, f, y0, ts, rtol, atol, args, max_steps, error
         t_new = jnp.where(accept, t + h, t)
         if tab.fsal:
             f_new0 = f1
-            nfe_step = len(tab.b) - 1
+            nfe_step = jnp.asarray(len(tab.b) - 1, jnp.int32)
         else:
-            f_new0 = f(t_new, y1, args)
-            nfe_step = len(tab.b)
+            # non-FSAL: the next step's first stage f(t1, y1) is only needed
+            # (and only counted) on acceptance — a rejected step retries from
+            # the unchanged (t, y, fval) (torchdiffeq accept/reject
+            # semantics)
+            f_new0 = jax.lax.cond(
+                accept, lambda: f(t + h, y1, args), lambda: fval
+            )
+            nfe_step = len(tab.b) - 1 + accept.astype(jnp.int32)
         y_new = jnp.where(accept, y1, y)
         f_new = jnp.where(accept, f_new0, fval)
         h_new = _next_step_size(h, ratio, tab.order)
@@ -254,10 +260,12 @@ def _integrate_adaptive_scan(tab, f, y0, ts, rtol, atol, args, max_steps, error_
         t_new = jnp.where(accept, t + h_eff, t)
         if tab.fsal:
             f_acc = f1
-            nfe_step = len(tab.b) - 1
+            nfe_step = jnp.asarray(len(tab.b) - 1, jnp.int32)
         else:
-            f_acc = f(t_new, y1, args)
-            nfe_step = len(tab.b)
+            # as in while mode: f(t1, y1) only on acceptance (scan mode keeps
+            # both branches traced for reverse-mode, so compute-and-select)
+            f_acc = f(t + h_eff, y1, args)
+            nfe_step = len(tab.b) - 1 + accept.astype(jnp.int32)
         y_new = jnp.where(accept, y1, y)
         f_new = jnp.where(accept, f_acc, fval)
         h_next = jnp.where(done, h, _next_step_size(h_eff, ratio, tab.order))
@@ -332,10 +340,12 @@ def _integrate_adaptive_chunked(
         t_new = jnp.where(accept, t + h_eff, t)
         if tab.fsal:
             f_acc = f1
-            nfe_step = len(tab.b) - 1
+            nfe_step = jnp.asarray(len(tab.b) - 1, jnp.int32)
         else:
-            f_acc = f(t_new, y1, args)
-            nfe_step = len(tab.b)
+            f_acc = jax.lax.cond(
+                accept, lambda: f(t + h_eff, y1, args), lambda: fval
+            )
+            nfe_step = len(tab.b) - 1 + accept.astype(jnp.int32)
         y_new = jnp.where(accept, y1, y)
         f_new = jnp.where(accept, f_acc, fval)
         h_next = jnp.where(done, h, _next_step_size(h_eff, ratio, tab.order))
@@ -382,63 +392,78 @@ def _integrate_fixed(method, f, y0, ts, step_size, args):
 
     Steps from ts[i] to ts[i+1] in ceil(dt/step_size) equal substeps
     (mirrors torchdiffeq's fixed-grid solvers with a perturbed step grid).
-    The Adams methods use an AB/AM 4-step predictor(-corrector) with RK4
-    startup.
+    The Adams methods use an AB4 predictor with RK4 startup;
+    ``implicit_adams`` iterates the AM4 corrector by functional iteration
+    (4 passes, torchdiffeq's max_iters default) while ``fixed_adams`` does a
+    single PECE corrector pass.  NFE counts every RHS evaluation actually
+    performed (tableau stages per substep; startup/corrector evals
+    included).
     """
     adams = method in ("explicit_adams", "implicit_adams", "fixed_adams")
     tab = get_tableau("rk4" if adams else method)
+    # corrector passes: torchdiffeq AdamsBashforthMoulton iterates the
+    # implicit corrector (max_iters=4); 'fixed_adams' keeps one PECE pass
+    n_corr = {"implicit_adams": 4, "fixed_adams": 1}.get(method, 0)
 
     def seg(carry, t_pair):
-        y = carry
+        y, nfe = carry
         t_a, t_b = t_pair
         dt = t_b - t_a
         n_sub = jnp.maximum(jnp.ceil(jnp.abs(dt) / step_size).astype(jnp.int32), 1)
         h = dt / n_sub.astype(y0.dtype)
 
         if not adams:
+            stages = len(tab.b)
 
-            def sub(i, y):
+            def sub(i, state):
+                y, nfe = state
                 t = t_a + i.astype(y0.dtype) * h
                 f0 = f(t, y, args)
                 y1, _, _ = _rk_step(tab, f, t, y, f0, h, args)
-                return y1
+                return y1, nfe + stages
 
-            y = jax.lax.fori_loop(0, n_sub, sub, y)
+            y, nfe = jax.lax.fori_loop(0, n_sub, sub, (y, nfe))
         else:
-            # AB4 predictor (+ AM4 corrector for implicit/fixed variants)
-            correct = method in ("implicit_adams", "fixed_adams")
 
             def sub(i, state):
-                y, hist = state  # hist: (4, *y.shape) slopes f(t-3h..t)
+                y, hist, nfe = state  # hist: (4, *y.shape) slopes f(t-3h..t)
                 t = t_a + i.astype(y0.dtype) * h
                 f0 = f(t, y, args)
                 hist = jnp.concatenate([hist[1:], f0[None]], axis=0)
-                have4 = i >= 3
-                # AB4: y + h/24 (55 f0 - 59 f-1 + 37 f-2 - 9 f-3)
-                ab4 = y + h / 24.0 * (
-                    55.0 * hist[3] - 59.0 * hist[2] + 37.0 * hist[1] - 9.0 * hist[0]
-                )
-                y_rk, _, _ = _rk_step(tab, f, t, y, f0, h, args)
-                y_pred = jnp.where(have4, ab4, y_rk)
-                if correct:
-                    f1 = f(t + h, y_pred, args)
-                    am4 = y + h / 24.0 * (
-                        9.0 * f1 + 19.0 * hist[3] - 5.0 * hist[2] + hist[1]
+
+                def startup(_):
+                    # RK4 bootstrap for the first 3 substeps: 3 stage evals
+                    # beyond f0
+                    y_rk, _, _ = _rk_step(tab, f, t, y, f0, h, args)
+                    return y_rk, jnp.asarray(3, jnp.int32)
+
+                def adams_step(_):
+                    # AB4: y + h/24 (55 f0 - 59 f-1 + 37 f-2 - 9 f-3)
+                    y_next = y + h / 24.0 * (
+                        55.0 * hist[3] - 59.0 * hist[2]
+                        + 37.0 * hist[1] - 9.0 * hist[0]
                     )
-                    y_next = jnp.where(have4, am4, y_rk)
-                else:
-                    y_next = y_pred
-                return y_next, hist
+                    for _ in range(n_corr):  # AM4 functional iteration
+                        f1 = f(t + h, y_next, args)
+                        y_next = y + h / 24.0 * (
+                            9.0 * f1 + 19.0 * hist[3] - 5.0 * hist[2] + hist[1]
+                        )
+                    return y_next, jnp.asarray(n_corr, jnp.int32)
+
+                y_next, extra = jax.lax.cond(i >= 3, adams_step, startup, None)
+                return y_next, hist, nfe + 1 + extra
 
             hist0 = jnp.zeros((4,) + y0.shape, y0.dtype)
-            y, _ = jax.lax.fori_loop(0, n_sub, sub, (y, hist0))
-        return y, y
+            y, _, nfe = jax.lax.fori_loop(0, n_sub, sub, (y, hist0, nfe))
+        return (y, nfe), y
 
     t_pairs = jnp.stack([ts[:-1], ts[1:]], axis=-1)
-    _, ys_rest = jax.lax.scan(seg, y0, t_pairs)
+    (_, nfe), ys_rest = jax.lax.scan(
+        seg, (y0, jnp.asarray(0, jnp.int32)), t_pairs
+    )
     ys = jnp.concatenate([y0[None], ys_rest], axis=0)
     zero = jnp.asarray(0, jnp.int32)
-    return OdeSolution(ys, zero, zero, zero)
+    return OdeSolution(ys, nfe, zero, zero)
 
 
 # ---------------------------------------------------------------------------

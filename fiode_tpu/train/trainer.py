@@ -463,6 +463,9 @@ class LyapunovTrainer:
         for i in range(n_full):
             j = idx[i * bs : (i + 1) * bs]
             yield xs[j], ys[j]
+        if not drop_last and len(xs) % bs:
+            j = idx[n_full * bs :]
+            yield xs[j], ys[j]
 
     def fit(self, epochs: Optional[int] = None, eval_every: int = 1):
         cfg = self.cfg

@@ -212,3 +212,95 @@ class TestGradients:
         np.testing.assert_allclose(
             np.asarray(g(y0)), np.exp(-1.0) * np.ones(2), atol=1e-3
         )
+
+
+class TestNfeAccounting:
+    def test_fixed_solver_nfe_counts(self):
+        # rk4: 4 evals per substep; euler: 1; midpoint: 2
+        ts = jnp.asarray([0.0, 1.0])
+        for method, per in [("euler", 1), ("midpoint", 2), ("rk4", 4)]:
+            sol = jax.jit(
+                lambda y0: odeint(
+                    f_decay, y0, ts, method=method, step_size=0.1
+                )
+            )(Y0)
+            assert int(sol.nfe) == 10 * per, (method, int(sol.nfe))
+
+    def test_adams_nfe_counts(self):
+        # 10 substeps: 3 RK4 startup substeps (4 evals each) then 7 Adams
+        # substeps at 1 (AB4) / 1+n_corr evals
+        ts = jnp.asarray([0.0, 1.0])
+        expected = {
+            "explicit_adams": 3 * 4 + 7 * 1,
+            "fixed_adams": 3 * 4 + 7 * 2,
+            "implicit_adams": 3 * 4 + 7 * 5,
+        }
+        for method, want in expected.items():
+            sol = jax.jit(
+                lambda y0: odeint(
+                    f_decay, y0, ts, method=method, step_size=0.1
+                )
+            )(Y0)
+            assert int(sol.nfe) == want, (method, int(sol.nfe))
+
+    @pytest.mark.parametrize("mode", ["while", "scan", "chunked"])
+    def test_rejected_steps_cost_no_extra_eval_non_fsal(self, mode):
+        # a stiff-ish start forces rejections; NFE must equal the
+        # tableau-implied count: 2 (f0 + initial-step probe) +
+        # attempts*(s-1) + n_accepted for non-FSAL fehlberg2 (s=3)
+        def f_stiff(t, y, args):
+            return -50.0 * y * jnp.sin(40.0 * t + y.sum() * 0)
+
+        ts = jnp.asarray([0.0, 1.0])
+        y0 = jnp.ones((2, 3))
+        sol = jax.jit(
+            lambda y0: odeint(
+                f_stiff, y0, ts, method="fehlberg2", rtol=1e-6, atol=1e-6,
+                mode=mode, max_steps=4096,
+            )
+        )(y0)
+        nacc, nrej, nfe = int(sol.n_accepted), int(sol.n_rejected), int(sol.nfe)
+        assert nrej > 0, "test needs rejected steps to be meaningful"
+        s = 3  # fehlberg2 stages
+        assert nfe == 2 + (nacc + nrej) * (s - 1) + nacc, (nfe, nacc, nrej)
+
+    def test_implicit_adams_corrector_converges_tighter(self):
+        # iterated AM4 correction must beat the single-pass PECE on a fast
+        # oscillator at coarse steps
+        ts = jnp.asarray([0.0, 1.0])
+        y0 = jnp.asarray([[1.0, 0.0]])
+
+        def f_fast(t, y, args):
+            x, v = y[..., 0], y[..., 1]
+            return jnp.stack([v, -25.0 * x], axis=-1)
+
+        exact = np.cos(5.0)
+        errs, finals = {}, {}
+        for method in ("fixed_adams", "implicit_adams"):
+            sol = jax.jit(
+                lambda y0: odeint(f_fast, y0, ts, method=method, step_size=0.01)
+            )(y0)
+            finals[method] = float(sol.ys[-1][0, 0])
+            errs[method] = abs(finals[method] - exact)
+        # the iterated corrector is a different (converged) fixed point ...
+        assert finals["implicit_adams"] != finals["fixed_adams"]
+        # ... and at this resolution it is at least as accurate as PECE
+        assert errs["implicit_adams"] <= errs["fixed_adams"] + 1e-9
+
+
+class TestDropLast:
+    def test_batches_honors_drop_last(self):
+        from fiode_tpu.train.trainer import LyapunovTrainer
+
+        rng = np.random.default_rng(0)
+        xs = np.arange(10)[:, None]
+        ys = np.arange(10)
+        out_t = list(LyapunovTrainer._batches(None, rng, xs, ys, 4))
+        assert [len(b[0]) for b in out_t] == [4, 4]
+        rng = np.random.default_rng(0)
+        out_f = list(
+            LyapunovTrainer._batches(None, rng, xs, ys, 4, drop_last=False)
+        )
+        assert [len(b[0]) for b in out_f] == [4, 4, 2]
+        seen = np.sort(np.concatenate([b[1] for b in out_f]))
+        np.testing.assert_array_equal(seen, np.arange(10))

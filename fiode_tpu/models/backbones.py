@@ -51,20 +51,30 @@ class KWLargeBackbone(nn.Module):
     mu: Sequence[float] = (0.0,)
     std: Sequence[float] = (1.0,)
     width: int = 1
+    # test/inference twin (reference models.py:154-165 ortho_models_test.*):
+    # Cayley transforms precomputed once via cache_cayley_params
+    cached: bool = False
+    # KWLarge_inter (reference models.py:172-178): expose the intermediate
+    # 512-wide representation instead of the out_dim head (the submodule is
+    # an empty stub; reconstructed from the factory name/shape)
+    inter: bool = False
 
     @nn.compact
     def __call__(self, x):
         a = _act(self.act)
         w = self.width
+        c = self.cached
         x = Normalize(self.mu, self.std)(x)
-        x = a(CayleyConv(32 * w, 3)(x))
-        x = a(CayleyConv(32 * w, 4, stride=2)(x))
-        x = a(CayleyConv(64 * w, 3)(x))
-        x = a(CayleyConv(64 * w, 4, stride=2)(x))
+        x = a(CayleyConv(32 * w, 3, cached=c)(x))
+        x = a(CayleyConv(32 * w, 4, stride=2, cached=c)(x))
+        x = a(CayleyConv(64 * w, 3, cached=c)(x))
+        x = a(CayleyConv(64 * w, 4, stride=2, cached=c)(x))
         x = x.reshape(x.shape[0], -1)
-        x = a(CayleyLinear(512 * w)(x))
-        x = a(CayleyLinear(512)(x))
-        x = CayleyLinear(self.out_dim)(x)
+        x = a(CayleyLinear(512 * w, cached=c)(x))
+        x = a(CayleyLinear(512, cached=c)(x))
+        if self.inter:
+            return x
+        x = CayleyLinear(self.out_dim, cached=c)(x)
         return x
 
 
@@ -131,9 +141,19 @@ def make_backbone(name: str, *, out_dim: int, act: str, mu, std) -> nn.Module:
     """Factory matching the reference's param_map registry
     (ExpConfig.py:107-162): ORTHO_KWLarge_Concat, ORTHO_KWLargeMNIST_Concat,
     CIFAR_4C3F, CIFAR_4C3F_nolips, CIFAR_6C2F, Identity."""
-    if name in ("ORTHO_KWLarge_Concat", "ORTHO_KWLargeMNIST_Concat",
-                "ORTHO_KWLarge_Concat_test", "ORTHO_KWLargeMNIST_Concat_test"):
+    if name in ("ORTHO_KWLarge_Concat", "ORTHO_KWLargeMNIST_Concat"):
         return KWLargeBackbone(out_dim=out_dim, act=act, mu=mu, std=std)
+    if name in ("ORTHO_KWLarge_Concat_test", "ORTHO_KWLargeMNIST_Concat_test"):
+        # test twins (reference models.py:154-165): same architecture with
+        # the Cayley transforms precomputed once (fill params with
+        # layers.cache_cayley_params from a trained checkpoint)
+        return KWLargeBackbone(
+            out_dim=out_dim, act=act, mu=mu, std=std, cached=True
+        )
+    if name == "ORTHO_KWLarge_inter":
+        return KWLargeBackbone(
+            out_dim=out_dim, act=act, mu=mu, std=std, inter=True
+        )
     if name in ("CIFAR_4C3F", "CIFAR_4C3F_nolips"):
         return PlainCNNBackbone(arch="4C3F", out_dim=out_dim, act=act, mu=mu, std=std)
     if name == "CIFAR_6C2F":

@@ -27,7 +27,14 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.cayley import cayley, cayley_conv_apply, groupsort2
+from ..ops.cayley import (
+    apply_freq_matrices,
+    cayley,
+    cayley_conv_apply,
+    cayley_conv_kernel,
+    cayley_linear_kernel,
+    groupsort2,
+)
 
 __all__ = [
     "Normalize",
@@ -37,7 +44,51 @@ __all__ = [
     "LipsConv",
     "GroupSort",
     "space_to_depth",
+    "cache_cayley_params",
 ]
+
+
+def cache_cayley_params(cached_module, train_params, example_x, rng=None):
+    """Densify trained Cayley weights into the ``cached=True`` twin's params.
+
+    Walks the cached module's param structure (obtained shape-only via
+    ``jax.eval_shape``) alongside the trained params: every {"Q"} leaf-dict
+    is filled with the orthogonalised weight — ``cayley_linear_kernel`` for
+    2-D Q, per-frequency ``cayley_conv_kernel`` for 4-D (n, nf, co, ci) Q —
+    and everything else (biases, Normalize stats, plain layers) is copied
+    through.  The equivalent of the ortho_conv fork's test-model weight
+    caching (reference models.py:154-165: ortho_models_test.* share the
+    train models' state_dicts).
+    """
+    import jax as _jax
+
+    rng = rng if rng is not None else _jax.random.PRNGKey(0)
+    shapes = _jax.eval_shape(cached_module.init, rng, example_x)
+    if "params" in shapes:
+        shapes = shapes["params"]
+    src = train_params["params"] if "params" in train_params else train_params
+
+    def fill(shape_tree, src_tree):
+        if isinstance(shape_tree, dict):
+            if "Q" in shape_tree:
+                q = shape_tree["Q"]
+                out = {}
+                if q.ndim == 2:
+                    out["Q"] = cayley_linear_kernel(
+                        src_tree["weight"], src_tree["alpha"]
+                    )
+                else:
+                    n, nf, co, ci = q.shape
+                    out["Q"] = cayley_conv_kernel(
+                        src_tree["weight"], src_tree["alpha"], n
+                    ).reshape(n, nf, co, ci)
+                if "bias" in shape_tree:
+                    out["bias"] = src_tree["bias"]
+                return out
+            return {k: fill(v, src_tree[k]) for k, v in shape_tree.items()}
+        return src_tree
+
+    return {"params": fill(shapes, src)}
 
 
 class Normalize(nn.Module):
@@ -64,23 +115,35 @@ class GroupSort(nn.Module):
 
 
 class CayleyLinear(nn.Module):
-    """Orthogonal linear layer y = Q x + b, Q = cayley(alpha W / ||W||)."""
+    """Orthogonal linear layer y = Q x + b, Q = cayley(alpha W / ||W||).
+
+    ``cached=True`` is the test/inference variant (the ortho_conv fork's
+    ``models_test`` twins, reference models.py:154-165): the orthogonal Q is
+    a parameter computed ONCE from trained weights by
+    ``cache_cayley_params`` instead of re-orthogonalising every forward.
+    """
 
     features: int
     use_bias: bool = True
+    cached: bool = False
 
     @nn.compact
     def __call__(self, x):
         in_features = x.shape[-1]
-        W = self.param(
-            "weight",
-            nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
-            (self.features, in_features),
-        )
-        alpha = self.param(
-            "alpha", lambda _k: jnp.linalg.norm(W).astype(jnp.float32)
-        )
-        Q = cayley(alpha * W / jnp.linalg.norm(W))
+        if self.cached:
+            Q = self.param(
+                "Q", nn.initializers.zeros, (self.features, in_features)
+            )
+        else:
+            W = self.param(
+                "weight",
+                nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
+                (self.features, in_features),
+            )
+            alpha = self.param(
+                "alpha", lambda _k: jnp.linalg.norm(W).astype(jnp.float32)
+            )
+            Q = cayley(alpha * W / jnp.linalg.norm(W))
         y = x @ Q.T
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
@@ -108,6 +171,7 @@ class CayleyConv(nn.Module):
     kernel_size: int = 3
     stride: int = 1
     use_bias: bool = True
+    cached: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -119,15 +183,28 @@ class CayleyConv(nn.Module):
         else:
             raise ValueError("CayleyConv supports stride 1 or 2")
         ci = x.shape[1]
-        W = self.param(
-            "weight",
-            nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
-            (self.features, ci, k, k),
-        )
-        alpha = self.param(
-            "alpha", lambda _k: jnp.linalg.norm(W).astype(jnp.float32)
-        )
-        y = cayley_conv_apply(x, W, alpha)
+        if self.cached:
+            # per-frequency semi-orthogonal matrices, precomputed once from
+            # trained weights (cache_cayley_params); stored (n, nf, co, ci)
+            # so the spatial size is recoverable from the shape
+            n = x.shape[-1]
+            nf = n // 2 + 1
+            Qf = self.param(
+                "Q",
+                lambda _k, s: jnp.zeros(s, jnp.complex64),
+                (n, nf, self.features, ci),
+            )
+            y = apply_freq_matrices(x, Qf.reshape(n * nf, self.features, ci))
+        else:
+            W = self.param(
+                "weight",
+                nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
+                (self.features, ci, k, k),
+            )
+            alpha = self.param(
+                "alpha", lambda _k: jnp.linalg.norm(W).astype(jnp.float32)
+            )
+            y = cayley_conv_apply(x, W, alpha)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + b[None, :, None, None]

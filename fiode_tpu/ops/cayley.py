@@ -32,6 +32,8 @@ __all__ = [
     "cayley",
     "cayley_linear_kernel",
     "cayley_conv_apply",
+    "cayley_conv_kernel",
+    "apply_freq_matrices",
     "groupsort2",
 ]
 
@@ -163,11 +165,30 @@ def cayley_conv_apply(
     matrices — three large GEMMs on the MXU per layer (measured ~3x faster
     than the fft path at batch 8192 on v5e).
     """
-    batch, ci, n, _ = x.shape
-    co = weight.shape[0]
+    n = x.shape[-1]
+    Q = cayley_conv_kernel(weight, alpha, n)
+    return apply_freq_matrices(x, Q, impl=impl, precision=precision)
+
+
+def cayley_conv_kernel(weight: jax.Array, alpha: jax.Array, n: int) -> jax.Array:
+    """Per-frequency semi-orthogonal matrices of a CayleyConv at spatial
+    size n: cayley(alpha * rfft2(kernel) / ||.||), shape (F, co, ci).
+
+    Exposed separately so trained kernels can be densified ONCE for
+    repeated inference (the ortho_conv fork's test-model variants cache
+    exactly this; reference models.py:154-165)."""
     wfft = _fft_kernel(weight, n)  # (F, co, ci)
     scale = alpha / jnp.linalg.norm(wfft)
-    Q = cayley(scale * wfft)  # (F, co, ci) semi-orthogonal per frequency
+    return cayley(scale * wfft)
+
+
+def apply_freq_matrices(
+    x: jax.Array, Q: jax.Array, *, impl: str = "auto", precision=None
+) -> jax.Array:
+    """Apply per-frequency (F, co, ci) matrices to NCHW ``x`` (circular
+    convolution in the Fourier domain)."""
+    batch, ci, n, _ = x.shape
+    co = Q.shape[-2]
     nf = n // 2 + 1
     F = n * nf
     if impl == "auto":

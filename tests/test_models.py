@@ -177,3 +177,37 @@ class TestDynamics:
         leaves = jax.tree_util.tree_leaves(g)
         assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
         assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+class TestCachedBackboneTwins:
+    def test_cached_twin_matches_train_backbone(self):
+        """_test variants (reference models.py:154-165): precomputed-Cayley
+        twin must reproduce the train backbone's outputs exactly."""
+        from fiode_tpu.models.backbones import make_backbone
+        from fiode_tpu.models.layers import cache_cayley_params
+
+        kw = dict(out_dim=8, act="GroupSort", mu=(0.5,), std=(0.25,))
+        train_bb = make_backbone("ORTHO_KWLarge_Concat", **kw)
+        test_bb = make_backbone("ORTHO_KWLarge_Concat_test", **kw)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 3, 8, 8))
+        params = jax.jit(train_bb.init)(jax.random.PRNGKey(1), x)
+        cached = jax.jit(
+            lambda p: cache_cayley_params(test_bb, p, x)
+        )(params)
+        y_train = jax.jit(train_bb.apply)(params, x)
+        y_test = jax.jit(test_bb.apply)(cached, x)
+        np.testing.assert_allclose(
+            np.asarray(y_train), np.asarray(y_test), atol=1e-4
+        )
+
+    def test_inter_variant_exposes_intermediate_features(self):
+        from fiode_tpu.models.backbones import make_backbone
+
+        bb = make_backbone(
+            "ORTHO_KWLarge_inter", out_dim=8, act="GroupSort",
+            mu=(0.5,), std=(0.25,),
+        )
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 3, 8, 8))
+        params = jax.jit(bb.init)(jax.random.PRNGKey(1), x)
+        y = jax.jit(bb.apply)(params, x)
+        assert y.shape == (2, 512)  # penultimate width, not out_dim

@@ -30,7 +30,7 @@ import numpy as np
 
 from ..models.dynamics import densify_dynamics_params
 from .crown import crown_mlp_bounds
-from .grid import enumerate_decision_boundary, grid_for_label
+from .grid import enumerate_decision_boundary
 from .ibp_qp import ibp_cbf_qp, ibp_sigmoid, worst_case_vdot
 
 __all__ = ["Certifier", "CertifyResult"]
@@ -125,27 +125,40 @@ class Certifier:
         eps = self.eps
         a1, a2, s1 = self.alpha_1, self.alpha_2, self.sigma_1
 
-        def one(Ws, bs, x_bias, eta, label, valid):
-            lb, ub = crown_mlp_bounds(Ws, bs, eta, eps, x_bias)
+        def one(Ws, bs, x_bias, label, perm, eta, valid):
+            # per-image: cells permuted in-kernel (grid_for_label's column
+            # swap, eval_utils.py:64-69) so every image shares one base grid
+            eta_l = eta[:, perm]
+            x_rows = jnp.broadcast_to(x_bias, (eta.shape[0], x_bias.shape[-1]))
+            lb, ub = crown_mlp_bounds(Ws, bs, eta_l, eps, x_rows)
             if self.scale_nominal:
-                lb, ub = ibp_sigmoid(lb, ub, eta - eps, eta + eps, a1, s1, a2)
+                lb, ub = ibp_sigmoid(lb, ub, eta_l - eps, eta_l + eps, a1, s1, a2)
             f_lb, f_ub = ibp_cbf_qp(
-                eta, eps, lb, ub, a1, s1, a2, with_upper=self.with_upper
+                eta_l, eps, lb, ub, a1, s1, a2, with_upper=self.with_upper
             )
-            vdot = worst_case_vdot(eta, eps, f_lb, f_ub, label)
+            vdot = worst_case_vdot(eta_l, eps, f_lb, f_ub, label)
             vdot = jnp.where(valid, vdot, -jnp.inf)
             return jnp.max(vdot) + self.kappa
 
         @jax.jit
-        def superchunk_fn(Ws, bs, x_bias, etas, label, valids):
-            # etas (K, C, n), valids (K, C): K chunks in one program, one
-            # device sync per call (the relay costs ~30ms per execution)
-            def body(i, worst):
-                return jnp.maximum(
-                    worst, one(Ws, bs, x_bias, etas[i], label, valids[i])
-                )
+        def superchunk_fn(Ws, bs, x_biases, labels, perms, etas, valids,
+                          worst0):
+            """All images x K chunks in ONE program (one device sync).
 
-            return jax.lax.fori_loop(0, etas.shape[0], body, -jnp.inf)
+            x_biases (I, m1), labels (I,), perms (I, n), etas (K, C, n),
+            valids (K, C), worst0 (I,) running per-image worst Vdot+kappa.
+            The reference sweeps grid batches per image in Python
+            (certify_crown.py:122-153); here the image axis is vmapped into
+            the same einsums so the MXU sees (I*C)-row batches.
+            """
+
+            def body(i, worst):
+                w = jax.vmap(
+                    one, in_axes=(None, None, 0, 0, 0, None, None)
+                )(Ws, bs, x_biases, labels, perms, etas[i], valids[i])
+                return jnp.maximum(worst, w)
+
+            return jax.lax.fori_loop(0, etas.shape[0], body, worst0)
 
         return superchunk_fn
 
@@ -157,19 +170,20 @@ class Certifier:
         eps = self.eps
         dist = float(np.sqrt(n)) / self.T  # grid gap (certify_lipschitz.py:79-83)
 
-        def one(params, feats, eta, label, valid):
+        def one(params, feats, label, perm, eta, valid):
+            eta_l = eta[:, perm]
             x_in = jnp.broadcast_to(feats, (eta.shape[0], feats.shape[-1]))
             f = self.model.eval_dot(
-                params, eta, x_in, scale_nominal=self.scale_nominal
+                params, eta_l, x_in, scale_nominal=self.scale_nominal
             )
             onehot = jax.nn.one_hot(label, n, dtype=bool)
-            wrong = jnp.where(onehot, -jnp.inf, eta)
+            wrong = jnp.where(onehot, -jnp.inf, eta_l)
             max_wrong = jnp.max(wrong, axis=-1, keepdims=True)
-            runner = (eta == max_wrong) & ~onehot
+            runner = (eta_l == max_wrong) & ~onehot
             f_y = jnp.sum(jnp.where(onehot, f, 0.0), -1)
             f_w = jnp.max(jnp.where(runner, f, -jnp.inf), -1)
             vdot = -f_y + f_w
-            eta_ub = jnp.max(eta, -1) + eps
+            eta_ub = jnp.max(eta_l, -1) + eps
             Lf_eta = jnp.sqrt(float(n)) * (s1 * a1 * jnp.exp(s1 * eta_ub)) + 1.0
             slack = jnp.sqrt(2.0) * Lf_eta * dist
             v_full = jnp.where(valid, vdot + slack + self.kappa, -jnp.inf)
@@ -177,23 +191,28 @@ class Certifier:
             return jnp.max(v_full), jnp.max(v_larger_T)
 
         @jax.jit
-        def superchunk_fn(params, feats, etas, label, valids):
+        def superchunk_fn(params, feats, labels, perms, etas, valids,
+                          worst0):
             def body(i, carry):
                 wf, wl = carry
-                vf, vl = one(params, feats, etas[i], label, valids[i])
+                vf, vl = jax.vmap(
+                    one, in_axes=(None, 0, 0, 0, None, None)
+                )(params, feats, labels, perms, etas[i], valids[i])
                 return jnp.maximum(wf, vf), jnp.maximum(wl, vl)
 
-            return jax.lax.fori_loop(
-                0, etas.shape[0], body, (-jnp.inf, -jnp.inf)
-            )
+            return jax.lax.fori_loop(0, etas.shape[0], body, worst0)
 
         return superchunk_fn
 
     # -- drivers -------------------------------------------------------------
 
-    def _iter_chunks(self, label: int, superchunk: int = 16):
-        """Yield (K, C, n) cell blocks + (K, C) validity masks (padded)."""
-        g = grid_for_label(self.grid, label)
+    def _iter_chunks(self, superchunk: int = 16):
+        """Yield (K, C, n) base-grid cell blocks + (K, C) validity masks.
+
+        Label-independent: the per-label column swap (grid_for_label)
+        happens inside the jitted chunk kernels via per-image permutation
+        indices, so all images share each block."""
+        g = self.grid
         C = self.chunk
         block_cells = C * superchunk
         n_cells = len(g)
@@ -219,6 +238,16 @@ class Certifier:
         early_exit: bool = True,
         progress_every: int = 0,
     ) -> CertifyResult:
+        """Certify a batch of images.
+
+        All clean-correct images are swept together: every jitted superchunk
+        call bounds (n_images x chunk) cells, maintaining one running
+        per-image worst value — the batched replacement for the reference's
+        image-outer/grid-inner loops (certify_crown.py:122-153).
+        ``early_exit`` stops the sweep once EVERY image is already violated
+        (with one image the semantics match the reference's per-image break,
+        certify_crown.py:149-153).
+        """
         n_imgs = len(images)
         certified = np.zeros(n_imgs, bool)
         larger_T_certified = np.zeros(n_imgs, bool)
@@ -236,50 +265,66 @@ class Certifier:
         )
         t0 = time.time()
 
-        for i in range(n_imgs):
-            label = int(labels[i])
-            if not clean[i]:
-                continue
-            feats = jnp.asarray(all_feats[i])
-            ok = True
-            ok_larger = True
+        clean_idx = np.nonzero(clean)[0]
+        I = len(clean_idx)
+        if I:
+            labs = np.asarray(labels)[clean_idx].astype(np.int32)
+            # perm per image: eta_l = eta[:, perm] swaps columns 0 <-> label
+            perms = np.tile(np.arange(self.n, dtype=np.int32), (I, 1))
+            perms[np.arange(I), 0] = labs
+            perms[np.arange(I), labs] = 0
+            labs_j = jnp.asarray(labs)
+            perms_j = jnp.asarray(perms)
+            feats_c = jnp.asarray(all_feats[clean_idx])
+            n_blocks = 0
             if method == "crown":
-                x_bias = self.U @ feats + self.bU
-                for eta, valid in self._iter_chunks(label):
-                    worst = float(
-                        self._crown_chunk(
-                            Ws, bs, x_bias, eta, jnp.asarray(label), valid
+                x_biases = feats_c @ jnp.asarray(self.U).T + jnp.asarray(self.bU)
+                worst = jnp.full((I,), -jnp.inf, jnp.float32)
+                for etas, valids in self._iter_chunks():
+                    worst = self._crown_chunk(
+                        Ws, bs, x_biases, labs_j, perms_j, etas, valids, worst
+                    )
+                    cells_checked += int(valids.sum()) * I
+                    n_blocks += 1
+                    worst_h = np.asarray(worst)  # host sync per superchunk
+                    if progress_every and n_blocks % progress_every == 0:
+                        el = time.time() - t0
+                        print(
+                            f"[certify:{method}] block {n_blocks} "
+                            f"viol={(worst_h > 0).mean():.3f} "
+                            f"({cells_checked/max(el,1e-9):,.0f} cells/s)",
+                            flush=True,
                         )
-                    )
-                    cells_checked += int(valid.sum())
-                    if worst > 0:
-                        ok = False
-                        if early_exit:
-                            break
+                    if early_exit and (worst_h > 0).all():
+                        break
+                certified[clean_idx] = worst_h <= 0
             elif method == "lipschitz":
-                for eta, valid in self._iter_chunks(label):
-                    w_full, w_larger = self._lips_chunk(
-                        self.params, feats, eta, jnp.asarray(label), valid
+                worst = (
+                    jnp.full((I,), -jnp.inf, jnp.float32),
+                    jnp.full((I,), -jnp.inf, jnp.float32),
+                )
+                for etas, valids in self._iter_chunks():
+                    worst = self._lips_chunk(
+                        self.params, feats_c, labs_j, perms_j, etas, valids,
+                        worst,
                     )
-                    cells_checked += int(valid.sum())
-                    if float(w_larger) >= 0:
-                        ok_larger = False
-                    if float(w_full) >= 0:
-                        ok = False
-                        if early_exit:
-                            break
+                    cells_checked += int(valids.sum()) * I
+                    n_blocks += 1
+                    w_full = np.asarray(worst[0])
+                    if progress_every and n_blocks % progress_every == 0:
+                        el = time.time() - t0
+                        print(
+                            f"[certify:{method}] block {n_blocks} "
+                            f"viol={(w_full >= 0).mean():.3f} "
+                            f"({cells_checked/max(el,1e-9):,.0f} cells/s)",
+                            flush=True,
+                        )
+                    if early_exit and (w_full >= 0).all():
+                        break
+                certified[clean_idx] = np.asarray(worst[0]) < 0
+                larger_T_certified[clean_idx] = np.asarray(worst[1]) < 0
             else:
                 raise ValueError(method)
-            certified[i] = ok
-            larger_T_certified[i] = ok_larger
-            if progress_every and (i + 1) % progress_every == 0:
-                el = time.time() - t0
-                print(
-                    f"[certify:{method}] {i+1}/{n_imgs} clean={clean[:i+1].mean():.3f} "
-                    f"cert={certified[:i+1].mean():.3f} "
-                    f"({cells_checked/max(el,1e-9):,.0f} cells/s)",
-                    flush=True,
-                )
 
         res = CertifyResult(
             clean=clean,
@@ -288,5 +333,5 @@ class Certifier:
             cells_checked=cells_checked,
             seconds=time.time() - t0,
         )
-        res.larger_T_certified = larger_T_certified  # extra attr (lipschitz)
+        res.larger_T_certified = larger_T_certified
         return res

@@ -195,24 +195,37 @@ def apgd_ce(logits_fn, x, y, key, *, eps, norm="L2", n_iter=100, n_restarts=1):
 def apgd_targeted(
     logits_fn, x, y, key, *, eps, norm="L2", n_iter=100, n_target_classes=9
 ):
-    """APGD-T: DLR loss against each of the top-k other classes."""
+    """APGD-T: DLR loss against each of the top-k other classes.
+
+    All target runs execute as ONE vmapped program (a (targets, batch)
+    fold) instead of the reference autoattack's sequential per-target
+    loop — the per-example winner is the first successful target in
+    priority order, matching the sequential semantics."""
     logits_clean = logits_fn(x)
     n_cls = logits_clean.shape[-1]
     order = jnp.argsort(logits_clean, axis=-1)[:, ::-1]  # descending
-    success = jnp.argmax(logits_clean, -1) != y
-    x_adv = x
+    success0 = jnp.argmax(logits_clean, -1) != y
     n_targets = min(n_target_classes, n_cls - 1)
+    y_ts = []
     for t in range(1, n_targets + 1):
         y_t = order[:, t]
         # if target == y (when y is not top-1) fall to the top class instead
-        y_t = jnp.where(y_t == y, order[:, 0], y_t)
-        key, k = jax.random.split(key)
+        y_ts.append(jnp.where(y_t == y, order[:, 0], y_t))
+    y_ts = jnp.stack(y_ts)  # (T, B)
+    keys = jax.random.split(key, n_targets)
+
+    def run_one(y_t, k):
         xb, _ = apgd_attack(
             logits_fn, x, y, k, eps=eps, norm=norm, n_iter=n_iter,
             loss="dlr-targeted", y_target=y_t,
         )
-        now = jnp.argmax(logits_fn(xb), -1) != y
-        take = now & ~success
-        x_adv = jnp.where(take.reshape((-1,) + (1,) * (x.ndim - 1)), xb, x_adv)
-        success = success | now
-    return x_adv, success
+        succ = jnp.argmax(logits_fn(xb), -1) != y
+        return xb, succ
+
+    xbs, succ_t = jax.vmap(run_one)(y_ts, keys)  # (T, B, ...), (T, B)
+    any_succ = jnp.any(succ_t, axis=0)
+    first = jnp.argmax(succ_t, axis=0)  # first successful target
+    x_pick = xbs[first, jnp.arange(x.shape[0])]
+    take = any_succ & ~success0
+    x_adv = jnp.where(take.reshape((-1,) + (1,) * (x.ndim - 1)), x_pick, x)
+    return x_adv, success0 | any_succ

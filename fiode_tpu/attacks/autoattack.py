@@ -43,6 +43,38 @@ class AutoAttackSuite:
         self.attacks = tuple(attacks_to_run)
         self.n_iter = n_iter
         self.square_queries = square_queries
+        self._compiled = {}
+
+    def _attack_fn(self, name):
+        """Each attack is ONE jitted program (cached per suite): eager op
+        dispatch around the inner loops costs ~100ms/op on relay-attached
+        TPUs and recompilation is avoided across batches of the same
+        shape."""
+        if name not in self._compiled:
+            if name == "apgd-ce":
+                fn = lambda x, y, k: apgd_ce(
+                    self.logits_fn, x, y, k, eps=self.eps, norm=self.norm,
+                    n_iter=self.n_iter,
+                )
+            elif name == "apgd-t":
+                fn = lambda x, y, k: apgd_targeted(
+                    self.logits_fn, x, y, k, eps=self.eps, norm=self.norm,
+                    n_iter=self.n_iter,
+                )
+            elif name == "fab-t":
+                fn = lambda x, y, k: fab_targeted(
+                    self.logits_fn, x, y, k, eps=self.eps, norm=self.norm,
+                    n_iter=self.n_iter,
+                )
+            elif name == "square":
+                fn = lambda x, y, k: square_attack(
+                    self.logits_fn, x, y, k, eps=self.eps, norm=self.norm,
+                    n_queries=self.square_queries,
+                )
+            else:
+                raise ValueError(name)
+            self._compiled[name] = jax.jit(fn)
+        return self._compiled[name]
 
     def run(self, x, y, key):
         """Returns (x_adv, robust_mask)."""
@@ -53,28 +85,7 @@ class AutoAttackSuite:
 
         for name in self.attacks:
             key, k = jax.random.split(key)
-            if name == "apgd-ce":
-                xb, succ = apgd_ce(
-                    self.logits_fn, x, y, k, eps=self.eps, norm=self.norm,
-                    n_iter=self.n_iter,
-                )
-            elif name == "apgd-t":
-                xb, succ = apgd_targeted(
-                    self.logits_fn, x, y, k, eps=self.eps, norm=self.norm,
-                    n_iter=self.n_iter,
-                )
-            elif name == "fab-t":
-                xb, succ = fab_targeted(
-                    self.logits_fn, x, y, k, eps=self.eps, norm=self.norm,
-                    n_iter=self.n_iter,
-                )
-            elif name == "square":
-                xb, succ = square_attack(
-                    self.logits_fn, x, y, k, eps=self.eps, norm=self.norm,
-                    n_queries=self.square_queries,
-                )
-            else:
-                raise ValueError(name)
+            xb, succ = self._attack_fn(name)(x, y, k)
             newly_broken = succ & robust
             x_adv = jnp.where(newly_broken.reshape(bshape), xb, x_adv)
             robust = robust & ~succ

@@ -23,9 +23,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--run-dir", default="run_data/workflow_demo")
     ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--h-sample", type=int, default=64,
+                    help="Lyapunov h samples per image; 256 = full protocol "
+                    "(reference README.md:27)")
+    ap.add_argument("--steps-per-call", type=int, default=2)
+    ap.add_argument("--synthetic-size", type=int, default=4096)
     ap.add_argument("--T", type=int, default=20)
     ap.add_argument("--certify-images", type=int, default=20)
     ap.add_argument("--attack-images", type=int, default=128)
+    ap.add_argument("--restore", action="store_true",
+                    help="skip training; restore the run-dir's checkpoint")
     args = ap.parse_args()
 
     import jax
@@ -45,16 +52,22 @@ def main():
         "cifar_train.yaml",
         [
             "++batch_size=128",
-            "++module.h_sample_size=64",
+            f"++module.h_sample_size={args.h_sample}",
             f"++module.max_epochs={args.epochs}",
             "++module.init_fun.param_map.out_dim=10",
+            f"++synthetic_size={args.synthetic_size}",
         ],
         "configs/classification",
     )
     tr = build_trainer(cfg, run_dir=str(run_dir))
-    tr.cfg.steps_per_call = 2
+    tr.cfg.steps_per_call = args.steps_per_call
     t0 = time.time()
-    params = tr.fit(epochs=args.epochs)
+    if args.restore:
+        from fiode_tpu.experiment import _restore_params
+        params = _restore_params(cfg, tr.model, str(run_dir))
+        print("[workflow] restored best checkpoint", flush=True)
+    else:
+        params = tr.fit(epochs=args.epochs)
     results["train_seconds"] = time.time() - t0
     val = tr.evaluate(params, jax.random.PRNGKey(7))
     results["validation_error"] = val["validation_error"]
@@ -106,7 +119,11 @@ def main():
     )
     results["autoattack"] = robust
     results["attack_seconds"] = time.time() - t0
-    print(f"[workflow] autoattack: {robust}", flush=True)
+    results["attack_images_per_sec"] = (
+        robust["n_images"] / results["attack_seconds"]
+    )
+    print(f"[workflow] autoattack: {robust} "
+          f"({results['attack_images_per_sec']:.2f} img/s)", flush=True)
 
     # consistency: certified accuracy cannot exceed empirical robust accuracy
     results["consistent"] = (

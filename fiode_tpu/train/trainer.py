@@ -680,6 +680,7 @@ class LyapunovTrainer:
         return {
             "test_error_clean": 1.0 - clean / total,
             "test_error_adv": 1.0 - robust / total,
+            "n_images": total,
         }
 
     def evaluate(self, params, key, split: str = "val", max_batches=None):

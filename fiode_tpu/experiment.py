@@ -262,6 +262,8 @@ def run_autoattack(cfg: dict, run_dir: str = ".", max_images=None,
         logits_fn, eps=float(cfg.get("eps", 36 / 255)),
         norm="L2" if str(cfg.get("norm", "2")) in ("2", "L2") else "Linf",
         attacks_to_run=attacks,
+        n_iter=int(cfg.get("attack_n_iter", 100)),
+        square_queries=int(cfg.get("attack_square_queries", 1000)),
     )
     robust_total, n_total = 0, 0
     key = jax.random.PRNGKey(0)

@@ -51,3 +51,63 @@ class TestExperimentE2E:
             attacks=("apgd-ce",),
         )
         assert 0.0 <= acc <= 1.0
+
+
+CLI_TINY = [
+    "++batch_size=32",
+    "++synthetic_size=256",
+    "++val_batch_size=32",
+    "++module.dynamics.mlp_size=32",
+    "+module/init_fun/param_map@module.init_fun.param_map=TinyMLP",
+    "++module.init_fun.param_map.out_dim=10",
+]
+
+
+class TestCliSurface:
+    """Drive the FULL ``python -m fiode_tpu`` command surface headless
+    (reference README command list / sl_pipeline.py:255-261): train →
+    restore best → sample-grid → certify-crown → certify-lipschitz →
+    eval-autoattack → segway-train → segway-certify, all on tiny shapes."""
+
+    def test_full_command_surface(self, tmp_path, capsys):
+        from fiode_tpu.cli import main
+
+        run_dir = str(tmp_path / "run")
+        data_none = "++data_root=" + str(tmp_path / "none")
+        train_dir = str(REPO / "configs/classification")
+        cert_dir = str(REPO / "configs/certify")
+
+        main(["train", "--config-name", "mnist_train.yaml",
+              "--config-dir", train_dir, "--run-dir", run_dir,
+              "--epochs", "1", "++module.h_sample_size=8", data_none,
+              *CLI_TINY])
+        assert (Path(run_dir) / "metrics.jsonl").exists()
+        assert (Path(run_dir) / "ckpt").exists()
+
+        grid_out = str(tmp_path / "grid.pkl")
+        main(["sample-grid", "--config-name", "mnist_certify.yaml",
+              "--config-dir", cert_dir, "--out", grid_out, "++T=6"])
+        assert Path(grid_out).exists()
+
+        cert_args = ["--config-name", "mnist_certify.yaml",
+                     "--config-dir", cert_dir, "--run-dir", run_dir,
+                     "--max-images", "2", "++T=6", "++end_ind=2",
+                     data_none, *CLI_TINY]
+        main(["certify-crown", *cert_args])
+        main(["certify-lipschitz", *cert_args])
+
+        main(["eval-autoattack", "--config-name", "mnist_certify.yaml",
+              "--config-dir", cert_dir, "--run-dir", run_dir,
+              "--max-images", "8", "--attacks", "apgd-ce,square",
+              "++attack_n_iter=3", "++attack_square_queries=8",
+              data_none, *CLI_TINY])
+        out = capsys.readouterr().out
+        assert "robust acc" in out
+        assert "certified" in out
+
+        seg_path = str(tmp_path / "segway.pkl")
+        main(["segway-train", "--save", seg_path, "--iters", "3"])
+        assert Path(seg_path).exists()
+        main(["segway-certify", "--model", seg_path, "--r", "0.15"])
+        out = capsys.readouterr().out
+        assert "cells" in out.lower()

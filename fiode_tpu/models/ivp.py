@@ -20,6 +20,7 @@ use_adjoint=True for the continuous adjoint with input-only cotangents
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
 
 import flax.linen as nn
@@ -32,6 +33,14 @@ from ..ops.fused_rhs import LANE, fused_rhs, pack_rhs_params
 from .dynamics import SimplexDynamics, densify_dynamics_params
 
 __all__ = ["NeuralODEClassifier"]
+
+
+def _fused_default() -> bool:
+    """Env gate: FIODE_FUSED=1 turns the Pallas fused RHS on for every solve
+    that doesn't pass ``fused=`` explicitly.  Off by default because relay-
+    attached TPUs (this box) pay ~1000x per pallas_call launch (CLAUDE.md);
+    directly-attached TPUs should set it."""
+    return os.environ.get("FIODE_FUSED", "").lower() in ("1", "true", "yes")
 
 
 @dataclasses.dataclass
@@ -189,13 +198,16 @@ class NeuralODEClassifier:
         method=None,
         rtol=None,
         atol=None,
-        fused: bool = False,
+        fused: Optional[bool] = None,
     ):
         """Integrate and return OdeSolution over requested ts (trajectory of h).
 
         With use_adjoint=True, gradients flow to x (and params) through the
         continuous adjoint; ys only (no NFE stats) are returned in that case.
+        ``fused=None`` defers to the FIODE_FUSED env var (off by default).
         """
+        if fused is None:
+            fused = _fused_default()
         if ts is None:
             ts = jnp.asarray([0.0, self.t_max])
         if fused and not use_adjoint:

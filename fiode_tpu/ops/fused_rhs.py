@@ -14,10 +14,14 @@ integration loop by XLA, as is the input injection xc = U x_feat + b1 + bU,
 which is h-independent — the reference recomputes U_x(x) every RHS call,
 dynamics/classification.py:97).
 
-Differentiation: `fused_rhs` carries a custom VJP whose backward is the VJP
-of the pure-jnp reference implementation (`rhs_reference`) — bitwise-close
-forward, exact active-set/matmul backward, so the fused path is usable in
-attacks and ODE-CE training too.
+Differentiation: `fused_rhs` carries a custom VJP.  On TPU (scale_nominal
+off — the certification/attack configuration) the backward is ALSO one
+Pallas kernel: it recomputes z1/z2/mu in VMEM, applies the closed-form
+active-set QP VJP, walks the MLP transposes on the MXU, and accumulates
+parameter gradients across batch blocks (the TPU grid is sequential, so
+the += into the weight-grad blocks is race-free).  Elsewhere (CPU, or
+scale_nominal=True) the backward is the VJP of the pure-jnp reference
+implementation (`rhs_reference`) — same math, op-by-op.
 """
 from __future__ import annotations
 
@@ -134,7 +138,7 @@ def rhs_reference(h_pad, xc_pad, p: FusedRhsParams, n: int, alpha_1, sigma_1,
 
 
 def _make_pallas_forward(n, alpha_1, sigma_1, alpha_2, scale_nominal,
-                         qp_iters, block):
+                         qp_iters, block, interpret: bool = False):
     import jax.experimental.pallas as pl
     import jax.experimental.pallas.tpu as pltpu
 
@@ -184,9 +188,138 @@ def _make_pallas_forward(n, alpha_1, sigma_1, alpha_2, scale_nominal,
                 bytes_accessed=N * LANE * 4 * 3 + LANE * LANE * 4 * 3,
                 transcendentals=N * LANE * (2 if scale_nominal else 1),
             ),
+            interpret=interpret,
         )(h_pad, xc_pad, p.W1, p.W2, p.W3, p.b2[None], p.b3[None])
 
     return forward
+
+
+def _make_pallas_backward(n, alpha_1, sigma_1, qp_iters, block,
+                          interpret: bool = False):
+    """Fused VJP kernel for scale_nominal=False (the live certify/attack
+    configuration; scale_nominal training epochs fall back to the jnp VJP).
+
+    One grid pass over batch blocks; per block it recomputes the forward
+    intermediates, applies the active-set projection VJP
+    (d_nominal = P_free (g - mean_free g), d_lower on the active set), then
+    the relu-masked MLP transposes.  Weight/bias grads accumulate in place —
+    sound because the TPU Pallas grid executes blocks sequentially."""
+    import jax.experimental.pallas as pl
+    import jax.experimental.pallas.tpu as pltpu
+
+    def kernel(nrows_ref, h_ref, xc_ref, g_ref, w1_ref, w2_ref, w3_ref,
+               b2_ref, b3_ref, dh_ref, dxc_ref, dw1_ref, dw2_ref, dw3_ref,
+               db2_ref, db3_ref):
+        i = pl.program_id(0)
+        nrows = nrows_ref[0]
+        row = i * block + jax.lax.broadcasted_iota(
+            jnp.int32, (block, LANE), 0
+        )
+        rvalid = row < nrows  # guard the ragged last block
+        h = jnp.where(rvalid, h_ref[:], 0.0)
+        xc = jnp.where(rvalid, xc_ref[:], 0.0)
+        g = jnp.where(rvalid, g_ref[:], 0.0)
+        W1, W2, W3 = w1_ref[:], w2_ref[:], w3_ref[:]
+        mask = (jax.lax.broadcasted_iota(jnp.int32, h.shape, 1) < n) & rvalid
+
+        # recompute forward intermediates (cheaper than storing them)
+        z1 = jnp.maximum(
+            jnp.dot(h, W1.T, preferred_element_type=jnp.float32) + xc, 0.0
+        )
+        z2 = jnp.maximum(
+            jnp.dot(z1, W2.T, preferred_element_type=jnp.float32) + b2_ref[:],
+            0.0,
+        )
+        f_tilde = (
+            jnp.dot(z2, W3.T, preferred_element_type=jnp.float32) + b3_ref[:]
+        )
+        lower = -alpha_1 * (jnp.exp(sigma_1 * h) - 1.0)
+        mu = _masked_bisect(lower, f_tilde, mask, qp_iters)
+
+        # active-set VJP of the cone projection (mirrors _mcp_bwd)
+        active = ((f_tilde - mu) < lower) & mask
+        free = mask & ~active
+        gm = jnp.where(mask, g, 0.0)
+        n_free = jnp.maximum(
+            jnp.sum(free, axis=-1, keepdims=True).astype(g.dtype), 1.0
+        )
+        corr = jnp.sum(jnp.where(free, gm, 0.0), -1, keepdims=True) / n_free
+        d_ft = jnp.where(free, gm - corr, 0.0)
+        d_lower = jnp.where(active, gm - corr, 0.0)
+
+        # barrier d lower/dh, then the relu-masked MLP transposes
+        dh = d_lower * (-alpha_1 * sigma_1 * jnp.exp(sigma_1 * h))
+        d_pre2 = jnp.dot(d_ft, W3, preferred_element_type=jnp.float32)
+        d_pre2 = jnp.where(z2 > 0, d_pre2, 0.0)
+        d_pre1 = jnp.dot(d_pre2, W2, preferred_element_type=jnp.float32)
+        d_pre1 = jnp.where(z1 > 0, d_pre1, 0.0)
+        dh = dh + jnp.dot(d_pre1, W1, preferred_element_type=jnp.float32)
+        dh_ref[:] = dh
+        dxc_ref[:] = d_pre1
+
+        dW1 = jnp.dot(d_pre1.T, h, preferred_element_type=jnp.float32)
+        dW2 = jnp.dot(d_pre2.T, z1, preferred_element_type=jnp.float32)
+        dW3 = jnp.dot(d_ft.T, z2, preferred_element_type=jnp.float32)
+        db2 = jnp.sum(d_pre2, 0, keepdims=True)
+        db3 = jnp.sum(d_ft, 0, keepdims=True)
+
+        @pl.when(i == 0)
+        def _init():
+            dw1_ref[:] = jnp.zeros_like(dw1_ref)
+            dw2_ref[:] = jnp.zeros_like(dw2_ref)
+            dw3_ref[:] = jnp.zeros_like(dw3_ref)
+            db2_ref[:] = jnp.zeros_like(db2_ref)
+            db3_ref[:] = jnp.zeros_like(db3_ref)
+
+        dw1_ref[:] += dW1
+        dw2_ref[:] += dW2
+        dw3_ref[:] += dW3
+        db2_ref[:] += db2
+        db3_ref[:] += db3
+
+    def backward(h_pad, xc_pad, g, p: FusedRhsParams):
+        N = h_pad.shape[0]
+        grid = (pl.cdiv(N, block),)
+        blk = lambda i: (i, 0)
+        full = lambda i: (0, 0)
+        f32 = jax.ShapeDtypeStruct
+        nrows = jnp.asarray([N], jnp.int32)
+        return pl.pallas_call(
+            kernel,
+            out_shape=(
+                f32((N, LANE), h_pad.dtype),   # dh
+                f32((N, LANE), h_pad.dtype),   # dxc
+                f32((LANE, LANE), h_pad.dtype),  # dW1
+                f32((LANE, LANE), h_pad.dtype),  # dW2
+                f32((LANE, LANE), h_pad.dtype),  # dW3
+                f32((1, LANE), h_pad.dtype),   # db2
+                f32((1, LANE), h_pad.dtype),   # db3
+            ),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((block, LANE), blk, memory_space=pltpu.VMEM),
+                pl.BlockSpec((block, LANE), blk, memory_space=pltpu.VMEM),
+                pl.BlockSpec((block, LANE), blk, memory_space=pltpu.VMEM),
+                pl.BlockSpec((LANE, LANE), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((LANE, LANE), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((LANE, LANE), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, LANE), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, LANE), full, memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((block, LANE), blk, memory_space=pltpu.VMEM),
+                pl.BlockSpec((block, LANE), blk, memory_space=pltpu.VMEM),
+                pl.BlockSpec((LANE, LANE), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((LANE, LANE), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((LANE, LANE), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, LANE), full, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, LANE), full, memory_space=pltpu.VMEM),
+            ),
+            interpret=interpret,
+        )(nrows, h_pad, xc_pad, g, p.W1, p.W2, p.W3, p.b2[None], p.b3[None])
+
+    return backward
 
 
 @functools.partial(
@@ -217,6 +350,10 @@ def _fused_fwd(h_pad, xc_pad, p, n, a1, s1, a2, scale_nominal, qp_iters, block):
 
 def _fused_bwd(n, a1, s1, a2, scale_nominal, qp_iters, block, res, g):
     h_pad, xc_pad, p = res
+    if jax.default_backend() in ("tpu", "axon") and not scale_nominal:
+        bwd = _make_pallas_backward(n, a1, s1, qp_iters, block)
+        dh, dxc, dW1, dW2, dW3, db2, db3 = bwd(h_pad, xc_pad, g, p)
+        return dh, dxc, FusedRhsParams(dW1, dW2, dW3, db2[0], db3[0])
     _, vjp = jax.vjp(
         lambda h, xc, pp: rhs_reference(
             h, xc, pp, n, a1, s1, a2, scale_nominal, qp_iters

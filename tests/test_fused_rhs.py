@@ -137,3 +137,86 @@ class TestFusedVsFlax:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=5e-3
             )
+
+
+class TestPallasKernels:
+    """Run the ACTUAL Pallas kernels (interpret mode on CPU) against the jnp
+    reference — forward and the fused backward (grad parity, VERDICT r1
+    item 9)."""
+
+    def _packed(self, n=10, mlp=32, B=37, seed=0):
+        # B deliberately not a multiple of the block size: exercises the
+        # ragged-last-block row guard in the backward kernel
+        k = jax.random.PRNGKey(seed)
+        ks = jax.random.split(k, 6)
+        W1 = 0.3 * jax.random.normal(ks[0], (mlp, n))
+        W2 = 0.3 * jax.random.normal(ks[1], (mlp, mlp))
+        W3 = 0.3 * jax.random.normal(ks[2], (n, mlp))
+        b2 = 0.1 * jax.random.normal(ks[3], (mlp,))
+        b3 = 0.1 * jax.random.normal(ks[4], (n,))
+        p = pack_rhs_params(W1, W2, W3, b2, b3)
+        h = jax.random.uniform(ks[5], (B, n))
+        h = h / h.sum(-1, keepdims=True)
+        h_pad = jnp.zeros((B, LANE)).at[:, :n].set(h)
+        xc = 0.5 * jax.random.normal(jax.random.PRNGKey(9), (B, mlp))
+        xc_pad = jnp.zeros((B, LANE)).at[:, :mlp].set(xc)
+        return h_pad, xc_pad, p, n
+
+    def test_forward_kernel_interpret_matches_reference(self):
+        from fiode_tpu.ops.fused_rhs import _make_pallas_forward
+
+        h_pad, xc_pad, p, n = self._packed()
+        fwd = _make_pallas_forward(n, 100.0, 0.02, 20.0, False, 30,
+                                   block=16, interpret=True)
+        got = jax.jit(fwd)(h_pad, xc_pad, p)
+        want = rhs_reference(h_pad, xc_pad, p, n, 100.0, 0.02, 20.0, False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+    def test_backward_kernel_interpret_matches_jnp_vjp(self):
+        from fiode_tpu.ops.fused_rhs import _make_pallas_backward
+
+        h_pad, xc_pad, p, n = self._packed()
+        g = jax.random.normal(jax.random.PRNGKey(3), h_pad.shape)
+        g = g * (jnp.arange(LANE) < n)[None, :]
+
+        bwd = _make_pallas_backward(n, 100.0, 0.02, 30, block=16,
+                                    interpret=True)
+        dh, dxc, dW1, dW2, dW3, db2, db3 = jax.jit(bwd)(h_pad, xc_pad, g, p)
+
+        _, vjp = jax.vjp(
+            lambda h, xc, pp: rhs_reference(h, xc, pp, n, 100.0, 0.02, 20.0,
+                                            False, 30),
+            h_pad, xc_pad, p,
+        )
+        rh, rxc, rp = vjp(g)
+        np.testing.assert_allclose(np.asarray(dh), np.asarray(rh), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dxc), np.asarray(rxc), atol=1e-4)
+        for got, want in ((dW1, rp.W1), (dW2, rp.W2), (dW3, rp.W3),
+                          (db2[0], rp.b2), (db3[0], rp.b3)):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-4)
+
+
+class TestFusedEnvGate:
+    def test_env_var_flips_default(self, monkeypatch):
+        from fiode_tpu.models.ivp import _fused_default
+
+        monkeypatch.delenv("FIODE_FUSED", raising=False)
+        assert _fused_default() is False
+        monkeypatch.setenv("FIODE_FUSED", "1")
+        assert _fused_default() is True
+        monkeypatch.setenv("FIODE_FUSED", "0")
+        assert _fused_default() is False
+
+    def test_env_default_solve_matches_explicit(self, monkeypatch):
+        model, params, x = make_model()
+        monkeypatch.setenv("FIODE_FUSED", "1")
+        s_env = jax.jit(lambda p, x: model.solve(p, x, mode="while"))(params, x)
+        monkeypatch.delenv("FIODE_FUSED")
+        s_exp = jax.jit(
+            lambda p, x: model.solve(p, x, mode="while", fused=True)
+        )(params, x)
+        np.testing.assert_allclose(
+            np.asarray(s_env.ys[-1]), np.asarray(s_exp.ys[-1]), atol=1e-6
+        )

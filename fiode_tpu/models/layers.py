@@ -60,10 +60,8 @@ def cache_cayley_params(cached_module, train_params, example_x, rng=None):
     caching (reference models.py:154-165: ortho_models_test.* share the
     train models' state_dicts).
     """
-    import jax as _jax
-
-    rng = rng if rng is not None else _jax.random.PRNGKey(0)
-    shapes = _jax.eval_shape(cached_module.init, rng, example_x)
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    shapes = jax.eval_shape(cached_module.init, rng, example_x)
     if "params" in shapes:
         shapes = shapes["params"]
     src = train_params["params"] if "params" in train_params else train_params

@@ -319,7 +319,11 @@ class Certifier:
                             f"({cells_checked/max(el,1e-9):,.0f} cells/s)",
                             flush=True,
                         )
-                    if early_exit and (w_full >= 0).all():
+                    # The larger-T certificate drops the grid-gap slack, so
+                    # its worst value is <= the full one: exit only once BOTH
+                    # certificates are violated for every image, else a
+                    # truncated sweep could emit an unsound larger-T result.
+                    if early_exit and (np.asarray(worst[1]) >= 0).all():
                         break
                 certified[clean_idx] = np.asarray(worst[0]) < 0
                 larger_T_certified[clean_idx] = np.asarray(worst[1]) < 0

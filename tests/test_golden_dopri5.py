@@ -129,8 +129,9 @@ class TestGoldenDopri5:
         # while and scan must walk the identical accept/reject sequence
         assert stats["while"] == stats["scan"], stats
         nfe, nacc, nrej = stats["while"]
-        # torchdiffeq accounting: 2 startup + 6 per accepted (FSAL eval on
-        # acceptance) + 5 per rejected
-        assert nfe == 2 + 6 * nacc + 5 * nrej, stats
+        # torchdiffeq accounting for an FSAL tableau: 2 startup + 6 per
+        # attempt — a rejected attempt re-evaluates stages 2..7 too, only
+        # the saved first-stage eval is reused (integrate.py FSAL branch)
+        assert nfe == 2 + 6 * (nacc + nrej), stats
         golden = (GOLDEN["nfe"], GOLDEN["n_accepted"], GOLDEN["n_rejected"])
         assert stats["while"] == golden, (stats, golden)

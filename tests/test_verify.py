@@ -267,3 +267,19 @@ class TestCertifierEndToEnd:
         assert (
             ~res_c.certified | res_l.larger_T_certified
         ).all(), "CROWN certified an image whose exact grid values violate"
+
+    def test_lips_early_exit_matches_full_sweep(self, tmp_path):
+        # Early exit may only fire once BOTH certificates are decided for
+        # every image; a truncated sweep must never flip a larger-T verdict
+        # (regression: early_exit used to break on the full-T certificate
+        # alone, emitting larger-T results from a partial sweep).
+        model, params, x = self._make(tmp_path)
+        y = np.asarray([0, 1, 2, 0, 1, 2])
+        cert = Certifier(model, params, T=8, eps_input=0.1, chunk=16)
+        kw = dict(method="lipschitz")
+        res_ee = cert.certify(np.asarray(x), y, early_exit=True, **kw)
+        res_full = cert.certify(np.asarray(x), y, early_exit=False, **kw)
+        np.testing.assert_array_equal(res_ee.certified, res_full.certified)
+        np.testing.assert_array_equal(
+            res_ee.larger_T_certified, res_full.larger_T_certified
+        )

@@ -37,8 +37,10 @@ import time
 import numpy as np
 
 REF_SAMPLE_NFE_PER_SEC = 150_000.0
-BATCH = 8192
-N_INNER = 10  # solves per jitted call
+# 32k saturates the MXU on the DFT-matmul Cayley backbone (measured +9% over
+# 8k on v5e); 48k+ overflows HBM with the (F, batch, ci) Fourier activations.
+BATCH = 32768
+N_INNER = 6  # solves per jitted call
 N_OUTER = 4  # timed calls; best one reported
 MAX_STEPS = 16  # bounded-scan step budget (solves need ~6 at tol 1e-3)
 

@@ -130,6 +130,35 @@ def _dft2_mats(n: int):
     return D2.astype(np.complex64), M2.astype(np.complex64)
 
 
+@functools.lru_cache(maxsize=16)
+def _dft1_mats(n: int):
+    """1-D DFT matrices for the factorised (rows-then-columns) transform.
+
+    Returns (D, Dh, Dinv, Einv):
+      ``Dh``  (nf, n)  rfft along the last spatial axis,
+      ``D``   (n, n)   full DFT along the other axis,
+      ``Einv`` (n, nf) inverse along the rfft axis with the Hermitian
+               doubling weights folded in (so only Re(.) is needed),
+      ``Dinv`` (n, n)  inverse along the full axis.
+    """
+    import numpy as np
+
+    k = np.arange(n)
+    D = np.exp(-2j * np.pi * np.outer(k, k) / n)
+    nf = n // 2 + 1
+    Dh = D[:nf]
+    w = np.ones(nf)
+    w[1 : (n + 1) // 2] = 2.0
+    Dinv = np.conj(D) / n
+    Einv = (np.conj(Dh).T * w[None, :]) / n
+    return (
+        D.astype(np.complex64),
+        Dh.astype(np.complex64),
+        Dinv.astype(np.complex64),
+        Einv.astype(np.complex64),
+    )
+
+
 # Above this spatial size the dense DFT matrices (O(n^4) entries) stop paying
 # for themselves and the FFT path is used instead.
 _DFT_MATMUL_MAX_N = 64
@@ -193,8 +222,53 @@ def apply_freq_matrices(
     F = n * nf
     if impl == "auto":
         impl = "dft" if n <= _DFT_MATMUL_MAX_N else "fft"
-    if impl not in ("dft", "fft"):
-        raise ValueError(f"impl must be 'auto', 'dft' or 'fft', got {impl!r}")
+    if impl not in ("dft", "dft1", "fft"):
+        raise ValueError(
+            f"impl must be 'auto', 'dft', 'dft1' or 'fft', got {impl!r}"
+        )
+
+    if impl == "dft1":
+        # Factorised rows-then-columns transform: the dense 2-D DFT matrix
+        # costs O(n^2) MACs per output frequency; splitting it into two 1-D
+        # passes costs O(n), a ~7x FLOP cut on 32x32 layers.  Every pass is
+        # a dot_general whose natural output order feeds the next one, so no
+        # large intermediate transposes are emitted.  Measured on v5e the
+        # extra HBM round trips and 32-deep contractions lose to the dense
+        # path's MXU-saturating GEMMs (99ms vs 59ms per 8k-batch KWLarge
+        # forward), so 'auto' keeps 'dft'; this path wins only where n is
+        # large enough that O(n^4) DFT matrices dominate.
+        D, Dh, Dinv, Einv = map(jnp.asarray, _dft1_mats(n))
+
+        def dg(a, b, contract, batch=((), ())):
+            return jax.lax.dot_general(
+                a, b, (contract, batch), precision=precision
+            )
+
+        # g-pass rfft: (nf, n) . (B, ci, n, n) contract last -> (nf, B, ci, n)
+        t1r = dg(Dh.real, x, (((1,), (3,))))
+        t1i = dg(Dh.imag, x, (((1,), (3,))))
+        # f-pass full DFT: (n, n) . (nf, B, ci, n) contract last
+        # -> (f, nf, B, ci); (f, g) flatten to the F axis with no transpose
+        t2r = dg(D.real, t1r, (((1,), (3,)))) - dg(D.imag, t1i, (((1,), (3,))))
+        t2i = dg(D.real, t1i, (((1,), (3,)))) + dg(D.imag, t1r, (((1,), (3,))))
+        xf = jax.lax.complex(t2r, t2i).reshape(F, batch, ci)
+        # per-frequency mixing: (F, co, ci) x (F, batch, ci) -> (F, co, batch)
+        yf = dg(Q, xf, ((2,), (2,)), ((0,), (0,)))
+        yf = yf.reshape(n, nf, co, batch)
+        # inverse g-pass with Hermitian weights folded: (n, nf) . (f, nf, co,
+        # B) contract nf -> (b_pix, f, co, B)
+        s1r = dg(Einv.real, yf.real, (((1,), (1,)))) - dg(
+            Einv.imag, yf.imag, (((1,), (1,)))
+        )
+        s1i = dg(Einv.real, yf.imag, (((1,), (1,)))) + dg(
+            Einv.imag, yf.real, (((1,), (1,)))
+        )
+        # inverse f-pass, real part only: (n, n) . (p, n, co, B) contract f
+        # -> (a, p, co, B)
+        yr = dg(Dinv.real, s1r, (((1,), (1,)))) - dg(
+            Dinv.imag, s1i, (((1,), (1,)))
+        )
+        return jnp.transpose(yr, (3, 2, 0, 1))
 
     if impl == "dft":
         D2, M2 = map(jnp.asarray, _dft2_mats(n))

@@ -60,6 +60,10 @@ class TestCayley:
                 lambda x, W: cayley_conv_apply(x, W, jnp.float32(1.2), impl="dft")
             )(x, W)
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+            c = jax.jit(
+                lambda x, W: cayley_conv_apply(x, W, jnp.float32(1.2), impl="dft1")
+            )(x, W)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-5)
             ga = jax.grad(
                 lambda W: cayley_conv_apply(x, W, jnp.float32(1.2), impl="fft").sum()
             )(W)
@@ -67,6 +71,10 @@ class TestCayley:
                 lambda W: cayley_conv_apply(x, W, jnp.float32(1.2), impl="dft").sum()
             )(W)
             np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-4)
+            gc = jax.grad(
+                lambda W: cayley_conv_apply(x, W, jnp.float32(1.2), impl="dft1").sum()
+            )(W)
+            np.testing.assert_allclose(np.asarray(ga), np.asarray(gc), atol=1e-4)
         with pytest.raises(ValueError):
             cayley_conv_apply(x, W, jnp.float32(1.0), impl="nope")
 

@@ -1,0 +1,84 @@
+"""Sharded certification sweep: the grid-cell axis partitions across the
+data mesh with no resharding of the cell-local work.
+
+The reference certifies on one GPU with Python loops over grid batches
+(certify_crown.py:122-153); here the cell axis is a sharded operand of one
+jitted program, so a v5e-8 slice certifies 8 chunks concurrently and the
+only communication is the final per-image max reduction (an all-reduce
+over ICI).  These tests pin (a) exact agreement between the sharded and
+replicated sweeps and (b) that GSPMD keeps the cell axis partitioned —
+no all-gather of cell-sized tensors appears in the compiled HLO."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from fiode_tpu.parallel.mesh import make_mesh
+from fiode_tpu.verify.crown import crown_mlp_bounds
+from fiode_tpu.verify.ibp_qp import ibp_cbf_qp, worst_case_vdot
+
+
+def _mlp(rng, n=6, m=16):
+    Ws = [
+        jnp.asarray(rng.normal(size=(m, n)).astype(np.float32)) / np.sqrt(n),
+        jnp.asarray(rng.normal(size=(m, m)).astype(np.float32)) / np.sqrt(m),
+        jnp.asarray(rng.normal(size=(n, m)).astype(np.float32)) / np.sqrt(m),
+    ]
+    bs = [jnp.zeros(m), jnp.zeros(m), jnp.zeros(n)]
+    x_bias = jnp.asarray(rng.normal(size=(m,)).astype(np.float32))
+    return Ws, bs, x_bias
+
+
+def _chunk_fn(Ws, bs, x_bias, eta):
+    lb, ub = crown_mlp_bounds(Ws, bs, eta, 1.0 / 8, x_bias)
+    f_lb, f_ub = ibp_cbf_qp(eta, 1.0 / 8, lb, ub, 100.0, 0.02, 20.0)
+    return jnp.max(worst_case_vdot(eta, 1.0 / 8, f_lb, f_ub, 2))
+
+
+class TestShardedCertSweep:
+    def test_sharded_matches_replicated_and_stays_sharded(self):
+        rng = np.random.default_rng(0)
+        Ws, bs, x_bias = _mlp(rng)
+        n_cells = 8 * 16
+        eta = rng.exponential(size=(n_cells, 6)).astype(np.float32)
+        eta /= eta.sum(1, keepdims=True)
+        eta = jnp.asarray(eta)
+
+        ref = float(jax.jit(_chunk_fn)(Ws, bs, x_bias, eta))
+
+        mesh = make_mesh(8)
+        eta_sh = jax.device_put(eta, NamedSharding(mesh, P("data", None)))
+        jitted = jax.jit(_chunk_fn)
+        out = float(jitted(Ws, bs, x_bias, eta_sh))
+        np.testing.assert_allclose(out, ref, rtol=1e-6)
+
+        # the compiled module must not gather the cell axis back onto one
+        # device: cell-local math stays partitioned, only the scalar max
+        # communicates
+        hlo = jitted.lower(Ws, bs, x_bias, eta_sh).compile().as_text()
+        assert "all-gather" not in hlo, "cell axis was replicated"
+
+    def test_image_vmapped_sweep_shards_cells(self):
+        # the Certifier's batched kernel: images vmapped, cells sharded
+        rng = np.random.default_rng(1)
+        Ws, bs, x_bias = _mlp(rng)
+        n_img = 3
+        x_biases = jnp.stack([x_bias + i for i in range(n_img)])
+        labels = jnp.asarray([0, 1, 2], jnp.int32)
+        eta = rng.exponential(size=(8 * 8, 6)).astype(np.float32)
+        eta /= eta.sum(1, keepdims=True)
+        eta = jnp.asarray(eta)
+
+        def sweep(Ws, bs, x_biases, labels, eta):
+            def one(xb, lab):
+                lb, ub = crown_mlp_bounds(Ws, bs, eta, 1.0 / 8, xb)
+                f_lb, f_ub = ibp_cbf_qp(eta, 1.0 / 8, lb, ub, 100.0, 0.02, 20.0)
+                return jnp.max(worst_case_vdot(eta, 1.0 / 8, f_lb, f_ub, lab))
+
+            return jax.vmap(one)(x_biases, labels)
+
+        ref = np.asarray(jax.jit(sweep)(Ws, bs, x_biases, labels, eta))
+        mesh = make_mesh(8)
+        eta_sh = jax.device_put(eta, NamedSharding(mesh, P("data", None)))
+        out = np.asarray(jax.jit(sweep)(Ws, bs, x_biases, labels, eta_sh))
+        np.testing.assert_allclose(out, ref, rtol=1e-6)

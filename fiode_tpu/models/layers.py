@@ -149,6 +149,19 @@ class CayleyLinear(nn.Module):
         return y
 
 
+def _fused_conv_enabled() -> bool:
+    """Env gate: FIODE_FUSED_CONV=1 routes CayleyConv through the fused
+    Pallas frequency-apply kernel (ops/fused_cayley_conv.py) — for
+    directly-attached TPUs; off by default (see that module's docstring)."""
+    import os
+
+    return os.environ.get("FIODE_FUSED_CONV", "").lower() in (
+        "1",
+        "true",
+        "yes",
+    )
+
+
 def space_to_depth(x, block: int = 2):
     """Invertible downsampling: (B, C, H, W) -> (B, C*block^2, H/b, W/b)."""
     b, c, h, w = x.shape
@@ -192,7 +205,13 @@ class CayleyConv(nn.Module):
                 lambda _k, s: jnp.zeros(s, jnp.complex64),
                 (n, nf, self.features, ci),
             )
-            y = apply_freq_matrices(x, Qf.reshape(n * nf, self.features, ci))
+            Qf = Qf.reshape(n * nf, self.features, ci)
+            if _fused_conv_enabled():
+                from ..ops.fused_cayley_conv import fused_freq_apply
+
+                y = fused_freq_apply(x, Qf)
+            else:
+                y = apply_freq_matrices(x, Qf)
         else:
             W = self.param(
                 "weight",
@@ -202,7 +221,15 @@ class CayleyConv(nn.Module):
             alpha = self.param(
                 "alpha", lambda _k: jnp.linalg.norm(W).astype(jnp.float32)
             )
-            y = cayley_conv_apply(x, W, alpha)
+            if _fused_conv_enabled():
+                from ..ops.cayley import cayley_conv_kernel
+                from ..ops.fused_cayley_conv import fused_freq_apply
+
+                y = fused_freq_apply(
+                    x, cayley_conv_kernel(W, alpha, x.shape[-1])
+                )
+            else:
+                y = cayley_conv_apply(x, W, alpha)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + b[None, :, None, None]

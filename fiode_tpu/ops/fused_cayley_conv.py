@@ -70,6 +70,9 @@ def _fused_forward(x, Qr, Qi, *, block_b, interpret):
     Bp = x.shape[0]
     fb = _pick_block_f(F)
     xp = x.reshape(Bp, ci, p)
+    M2T = M2.T  # (F, p): TPU lowering wants trailing block dims (8,128)-
+    # divisible or full-size; a (p, Fb) column block of M2 violates that,
+    # an (Fb, p) row block of M2^T satisfies it
 
     def kernel(x_ref, d2r_ref, d2i_ref, qr_ref, qi_ref, m2r_ref, m2i_ref,
                out_ref):
@@ -78,39 +81,47 @@ def _fused_forward(x, Qr, Qi, *, block_b, interpret):
         x_ref   (BT, ci, p)   batch tile, p = n*n spatial pixels
         d2*_ref (Fb, p)       forward rDFT rows of this frequency block
         q*_ref  (Fb, co, ci)  per-frequency mixing matrices
-        m2*_ref (p, Fb)       inverse rDFT columns of this block
-        out_ref (p, co, BT)   accumulated across the frequency axis
+        m2*_ref (Fb, p)       inverse rDFT rows (M2^T) of this block
+        out_ref (BT, co, p)   accumulated across the frequency axis
         """
         j = pl.program_id(1)
 
-        # 1. forward DFT: (Fb, p) . (BT*ci, p)^T -> (Fb, BT*ci)
-        x2 = x_ref[:].reshape(bt * ci, p)
-        tr = (((1,), (1,)), ((), ()))
-        xfr = jax.lax.dot_general(d2r_ref[:], x2, tr,
-                                  preferred_element_type=jnp.float32)
-        xfi = jax.lax.dot_general(d2i_ref[:], x2, tr,
-                                  preferred_element_type=jnp.float32)
+        # Mosaic constraints shape this dataflow (probed on v5e): 3-D x 2-D
+        # dot_generals lower, 2-D x 3-D and lane-splitting reshapes do not,
+        # and batched dots need an identity reshape to force the canonical
+        # (batch, lhs-free, rhs-free) layout before storing.
 
-        # 2. per-frequency mix: (Fb, co, ci) x (Fb, BT, ci) -> (Fb, co, BT)
-        xfr = xfr.reshape(fb, bt, ci)
-        xfi = xfi.reshape(fb, bt, ci)
+        # 1. forward DFT: (BT, ci, p) . (Fb, p) -> (BT, ci, Fb) -> (Fb, BT, ci)
+        tr = (((2,), (1,)), ((), ()))
+
+        def fdot(m):
+            t = jax.lax.dot_general(x_ref[:], m, tr,
+                                    preferred_element_type=jnp.float32)
+            return jnp.transpose(t, (2, 0, 1))
+
+        xfr = fdot(d2r_ref[:])
+        xfi = fdot(d2i_ref[:])
+
+        # 2. per-frequency mix: (Fb, BT, ci) x (Fb, co, ci) -> (Fb, BT, co)
         mix = (((2,), (2,)), ((0,), (0,)))
 
-        def bdot(q, v):
-            return jax.lax.dot_general(
-                q, v, mix, preferred_element_type=jnp.float32
-            )
+        def bdot(v, q):
+            r = jax.lax.dot_general(v, q, mix,
+                                    preferred_element_type=jnp.float32)
+            return r.reshape(fb, bt, co)
 
-        yfr = bdot(qr_ref[:], xfr) - bdot(qi_ref[:], xfi)
-        yfi = bdot(qr_ref[:], xfi) + bdot(qi_ref[:], xfr)
+        yfr = bdot(xfr, qr_ref[:]) - bdot(xfi, qi_ref[:])
+        yfi = bdot(xfi, qr_ref[:]) + bdot(xfr, qi_ref[:])
 
-        # 3. inverse-DFT partial sum: (p, Fb) . (Fb, co*BT) -> (p, co*BT)
-        acc = (((1,), (0,)), ((), ()))
-        yr = jax.lax.dot_general(m2r_ref[:], yfr.reshape(fb, co * bt), acc,
+        # 3. inverse-DFT partial sum, oriented so the result IS the output
+        #    tile: (BT, co, Fb) . (Fb, p) -> (BT, co, p)
+        ytr = jnp.transpose(yfr, (1, 2, 0))
+        yti = jnp.transpose(yfi, (1, 2, 0))
+        acc = (((2,), (0,)), ((), ()))
+        yr = jax.lax.dot_general(ytr, m2r_ref[:], acc,
                                  preferred_element_type=jnp.float32)
-        yr -= jax.lax.dot_general(m2i_ref[:], yfi.reshape(fb, co * bt), acc,
+        yr -= jax.lax.dot_general(yti, m2i_ref[:], acc,
                                   preferred_element_type=jnp.float32)
-        yr = yr.reshape(p, co, bt)
 
         @pl.when(j == 0)
         def _():
@@ -135,21 +146,21 @@ def _fused_forward(x, Qr, Qi, *, block_b, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((fb, co, ci), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((p, fb), lambda i, j: (0, j),
+            pl.BlockSpec((fb, p), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((p, fb), lambda i, j: (0, j),
+            pl.BlockSpec((fb, p), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((p, co, bt), lambda i, j: (0, 0, i),
+        out_specs=pl.BlockSpec((bt, co, p), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((p, co, Bp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Bp, co, p), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(xp, D2.real, D2.imag, Qr, Qi, M2.real, M2.imag)
+    )(xp, D2.real, D2.imag, Qr, Qi, M2T.real, M2T.imag)
 
-    y = jnp.transpose(out, (2, 1, 0)).reshape(Bp, co, n, n)
+    y = out.reshape(Bp, co, n, n)
     return y[:B] if pad_b else y
 
 

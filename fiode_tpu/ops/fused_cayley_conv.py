@@ -24,9 +24,17 @@ falls back to the jnp reference path via custom_vjp, mirroring
 `ops/fused_rhs`.
 
 Environment gate: layers use this kernel when FIODE_FUSED_CONV=1 (off by
-default — through this box's TPU relay every pallas_call launch costs
-~1000x, so it is validated in interpret mode and intended for
-directly-attached TPUs).
+default).
+
+Measured verdict (v5e, B=8192, ci=co=32, n=32, through the axon relay):
+the kernel lowers and runs at bt<=16 (42.8 ms/layer at bt=16/fb=136) but
+LOSES to the XLA dense-DFT path (22.3 ms/layer).  Two structural reasons:
+(a) Mosaic pads the 32-wide mixing operands to 128 lanes, quadrupling
+their VMEM footprint and capping the batch tile at 16 (bt=32 exhausts
+VMEM), and (b) the per-frequency (32x32) mixing matmuls run the MXU at
+~6% utilisation regardless of fusion.  XLA's giant un-fused GEMMs win on
+this hardware; the kernel is kept as a correct, tested fusion workbench
+(and the measured numbers as the record of why the default is off).
 """
 from __future__ import annotations
 

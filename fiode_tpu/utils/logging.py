@@ -33,7 +33,10 @@ class MetricWriter:
                 self._wandb = wandb.init(project=project, config=config or {})
             except Exception:
                 self._wandb = None
-        if config is not None:
+        if config is not None and not (self.run_dir / "config.json").exists():
+            # write-once: one run dir records one training config — a later
+            # --restore (e.g. re-certification with different eval knobs)
+            # must not clobber the record of how the checkpoint was trained
             json.dump(config, open(self.run_dir / "config.json", "w"), indent=2, default=str)
 
     def log(self, metrics: dict, step: int, epoch: Optional[int] = None):

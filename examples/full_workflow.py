@@ -62,13 +62,25 @@ def main():
     tr = build_trainer(cfg, run_dir=str(run_dir))
     tr.cfg.steps_per_call = args.steps_per_call
     t0 = time.time()
+    results["restored_checkpoint"] = bool(args.restore)
     if args.restore:
         from fiode_tpu.experiment import _restore_params
         params = _restore_params(cfg, tr.model, str(run_dir))
+        results["restore_seconds"] = time.time() - t0
+        # carry the original training time forward instead of redefining
+        # train_seconds as restore time
+        prior = run_dir / "RESULTS.json"
+        if prior.exists():
+            try:
+                results["train_seconds"] = json.loads(prior.read_text()).get(
+                    "train_seconds"
+                )
+            except (json.JSONDecodeError, OSError):
+                pass
         print("[workflow] restored best checkpoint", flush=True)
     else:
         params = tr.fit(epochs=args.epochs)
-    results["train_seconds"] = time.time() - t0
+        results["train_seconds"] = time.time() - t0
     val = tr.evaluate(params, jax.random.PRNGKey(7))
     results["validation_error"] = val["validation_error"]
     results["synthetic_data"] = bool(tr.ds.synthetic)

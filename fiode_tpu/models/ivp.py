@@ -20,7 +20,6 @@ use_adjoint=True for the continuous adjoint with input-only cotangents
 from __future__ import annotations
 
 import dataclasses
-import os
 from typing import Optional
 
 import flax.linen as nn
@@ -30,6 +29,7 @@ import jax.numpy as jnp
 from ..ode.adjoint import odeint_adjoint
 from ..ode.integrate import OdeSolution, odeint
 from ..ops.fused_rhs import LANE, fused_rhs, pack_rhs_params
+from ..utils.debug import env_flag
 from .dynamics import SimplexDynamics, densify_dynamics_params
 
 __all__ = ["NeuralODEClassifier"]
@@ -37,10 +37,11 @@ __all__ = ["NeuralODEClassifier"]
 
 def _fused_default() -> bool:
     """Env gate: FIODE_FUSED=1 turns the Pallas fused RHS on for every solve
-    that doesn't pass ``fused=`` explicitly.  Off by default because relay-
-    attached TPUs (this box) pay ~1000x per pallas_call launch (CLAUDE.md);
-    directly-attached TPUs should set it."""
-    return os.environ.get("FIODE_FUSED", "").lower() in ("1", "true", "yes")
+    that doesn't pass ``fused=`` explicitly.  Off by default: measured on
+    v5e the fused RHS runs the ODE portion of a dopri5 solve ~2.7x slower
+    than the XLA path (XLA already fuses this chain well; see README design
+    notes) — the kernel remains available for experimentation."""
+    return env_flag("FIODE_FUSED")
 
 
 @dataclasses.dataclass

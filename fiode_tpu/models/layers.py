@@ -151,15 +151,12 @@ class CayleyLinear(nn.Module):
 
 def _fused_conv_enabled() -> bool:
     """Env gate: FIODE_FUSED_CONV=1 routes CayleyConv through the fused
-    Pallas frequency-apply kernel (ops/fused_cayley_conv.py) — for
-    directly-attached TPUs; off by default (see that module's docstring)."""
-    import os
+    Pallas frequency-apply kernel (ops/fused_cayley_conv.py); off by
+    default — measured slower than the XLA dense-DFT path on v5e (see
+    that module's docstring for the numbers)."""
+    from ..utils.debug import env_flag
 
-    return os.environ.get("FIODE_FUSED_CONV", "").lower() in (
-        "1",
-        "true",
-        "yes",
-    )
+    return env_flag("FIODE_FUSED_CONV")
 
 
 def space_to_depth(x, block: int = 2):

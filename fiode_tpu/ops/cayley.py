@@ -114,18 +114,14 @@ def _dft2_mats(n: int):
     Returns (D2, M2): ``D2`` (F, n*n) maps flattened spatial pixels to the
     F = n*(n//2+1) retained rfft2 frequencies; ``M2`` (n*n, F) maps them back,
     with the Hermitian column weights (2 on 0<g<n/2) folded in so that
-    ``y = Re(M2 @ Y)`` equals ``irfft2``.
+    ``y = Re(M2 @ Y)`` equals ``irfft2``.  Built from the 1-D factors
+    (_dft1_mats) so both paths share one source of truth for the weights.
     """
     import numpy as np
 
-    k = np.arange(n)
-    D = np.exp(-2j * np.pi * np.outer(k, k) / n)
     nf = n // 2 + 1
-    D2 = np.einsum("fi,gj->fgij", D, D[:nf]).reshape(n * nf, n * n)
-    w = np.ones(nf)
-    w[1 : (n + 1) // 2] = 2.0
-    Dinv = np.conj(D) / n
-    Einv = (np.conj(D[:nf, :]).T * w[None, :]) / n
+    D, Dh, Dinv, Einv = _dft1_mats(n)
+    D2 = np.einsum("fi,gj->fgij", D, Dh).reshape(n * nf, n * n)
     M2 = np.einsum("af,bg->abfg", Dinv, Einv).reshape(n * n, n * nf)
     return D2.astype(np.complex64), M2.astype(np.complex64)
 
@@ -151,12 +147,9 @@ def _dft1_mats(n: int):
     w[1 : (n + 1) // 2] = 2.0
     Dinv = np.conj(D) / n
     Einv = (np.conj(Dh).T * w[None, :]) / n
-    return (
-        D.astype(np.complex64),
-        Dh.astype(np.complex64),
-        Dinv.astype(np.complex64),
-        Einv.astype(np.complex64),
-    )
+    # complex128: _dft2_mats composes these into products, so precision is
+    # cast away only at the jnp.asarray boundary of each consumer
+    return D, Dh, Dinv, Einv
 
 
 # Above this spatial size the dense DFT matrices (O(n^4) entries) stop paying
@@ -178,8 +171,10 @@ def cayley_conv_apply(
       x:      (batch, ci, n, n) input in NCHW (n must cover the kernel).
       weight: (co, ci, k, k) unconstrained kernel.
       alpha:  scalar learnable norm target.
-      impl:   'dft' (DFT-as-matmul, MXU path), 'fft' (jnp.fft path), or
-              'auto' (dft for n <= 64).
+      impl:   'dft' (dense 2-D DFT-as-matmul, MXU path), 'dft1'
+              (factorised rows-then-columns 1-D DFT matmuls — fewer FLOPs
+              but loses to 'dft' on v5e, see apply_freq_matrices), 'fft'
+              (jnp.fft path), or 'auto' (dft for n <= 64).
       precision: lax.Precision for the dft matmuls (None = backend default;
               pass HIGHEST for certification-grade accuracy — on TPU the
               default bf16 passes cost ~1e-2 abs error, HIGHEST ~1e-3).

@@ -12,12 +12,19 @@ The reference ships disabled torch anomaly/profiler hooks
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 from typing import Iterator
 
 import jax
 
-__all__ = ["set_debug", "trace", "step_timer"]
+__all__ = ["set_debug", "trace", "step_timer", "env_flag"]
+
+
+def env_flag(name: str) -> bool:
+    """Shared truthy-env-var parser for feature gates (FIODE_FUSED,
+    FIODE_FUSED_CONV, ...) so the accepted spellings cannot drift."""
+    return os.environ.get(name, "").lower() in ("1", "true", "yes")
 
 
 def set_debug(nans: bool = False, infs: bool = False, checks: bool = False):

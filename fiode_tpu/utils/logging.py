@@ -33,11 +33,24 @@ class MetricWriter:
                 self._wandb = wandb.init(project=project, config=config or {})
             except Exception:
                 self._wandb = None
-        if config is not None and not (self.run_dir / "config.json").exists():
+        if config is not None:
             # write-once: one run dir records one training config — a later
             # --restore (e.g. re-certification with different eval knobs)
-            # must not clobber the record of how the checkpoint was trained
-            json.dump(config, open(self.run_dir / "config.json", "w"), indent=2, default=str)
+            # must not clobber the record of how the checkpoint was trained.
+            # A differing config on an existing dir is surfaced loudly so a
+            # from-scratch retrain into an old dir can't silently keep a
+            # stale record.
+            cfg_path = self.run_dir / "config.json"
+            serialized = json.dumps(config, indent=2, default=str)
+            if not cfg_path.exists():
+                cfg_path.write_text(serialized)
+            elif cfg_path.read_text() != serialized:
+                print(
+                    f"[logging] WARNING: {cfg_path} differs from this run's "
+                    "config; keeping the original record (delete the file "
+                    "or use a fresh run dir to retrain with new settings)",
+                    flush=True,
+                )
 
     def log(self, metrics: dict, step: int, epoch: Optional[int] = None):
         rec = {"step": int(step), "t": round(time.time() - self._t0, 3)}

@@ -80,5 +80,11 @@ class TestShardedCertSweep:
         ref = np.asarray(jax.jit(sweep)(Ws, bs, x_biases, labels, eta))
         mesh = make_mesh(8)
         eta_sh = jax.device_put(eta, NamedSharding(mesh, P("data", None)))
-        out = np.asarray(jax.jit(sweep)(Ws, bs, x_biases, labels, eta_sh))
+        jitted = jax.jit(sweep)
+        out = np.asarray(jitted(Ws, bs, x_biases, labels, eta_sh))
         np.testing.assert_allclose(out, ref, rtol=1e-6)
+        # the image-vmapped program (the Certifier's real shape) must also
+        # keep the cell axis partitioned — values alone would pass even if
+        # GSPMD replicated it
+        hlo = jitted.lower(Ws, bs, x_biases, labels, eta_sh).compile().as_text()
+        assert "all-gather" not in hlo, "cell axis was replicated"

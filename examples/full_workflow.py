@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--attack-images", type=int, default=128)
     ap.add_argument("--restore", action="store_true",
                     help="skip training; restore the run-dir's checkpoint")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="training seed (reference seed_everything parity)")
     args = ap.parse_args()
 
     import jax
@@ -56,6 +58,7 @@ def main():
             f"++module.max_epochs={args.epochs}",
             "++module.init_fun.param_map.out_dim=10",
             f"++synthetic_size={args.synthetic_size}",
+            f"++seed={args.seed}",
         ],
         "configs/classification",
     )

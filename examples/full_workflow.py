@@ -108,6 +108,8 @@ def main():
         "certified_acc": res_c.certified_acc,
         "cells_per_sec": res_c.cells_per_sec,
         "seconds": res_c.seconds,
+        # audit trail, reference certify_crown.py:172 parity
+        "certified_idx": np.nonzero(res_c.certified)[0].tolist(),
     }
     print(f"[workflow] crown: clean={res_c.clean_acc:.3f} "
           f"cert={res_c.certified_acc:.3f} "
@@ -119,6 +121,10 @@ def main():
         "certified_acc": res_l.certified_acc,
         "larger_T_certified_acc": float(res_l.larger_T_certified.mean()),
         "cells_per_sec": res_l.cells_per_sec,
+        "certified_idx": np.nonzero(res_l.certified)[0].tolist(),
+        "larger_T_certified_idx": np.nonzero(res_l.larger_T_certified)[
+            0
+        ].tolist(),
     }
     print(f"[workflow] lipschitz: cert={res_l.certified_acc:.3f} "
           f"largerT={float(res_l.larger_T_certified.mean()):.3f}", flush=True)

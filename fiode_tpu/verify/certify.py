@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.dynamics import densify_dynamics_params
-from .crown import crown_mlp_bounds
+from .crown import crown_mlp_bounds, optimize_crown_alphas
 from .grid import enumerate_decision_boundary
 from .ibp_qp import ibp_cbf_qp, ibp_sigmoid, worst_case_vdot
 
@@ -70,6 +70,7 @@ class Certifier:
         with_upper: bool = False,
         grid: Optional[np.ndarray] = None,
         std_min: Optional[float] = None,
+        alpha_iters: int = 0,
     ):
         self.model = model
         self.params = params
@@ -78,6 +79,10 @@ class Certifier:
         self.chunk = chunk
         self.scale_nominal = scale_nominal
         self.with_upper = with_upper
+        # alpha-CROWN refinement steps per chunk (0 = plain CROWN, the
+        # reference's method; >0 tightens the ReLU lower slopes against
+        # the worst-case-Vdot objective — ~(2*iters+1)x the bound cost)
+        self.alpha_iters = int(alpha_iters)
         self.n = model.dynamics.n_hidden
         dyn = model.dynamics
         self.alpha_1, self.alpha_2, self.sigma_1 = (
@@ -130,13 +135,29 @@ class Certifier:
             # swap, eval_utils.py:64-69) so every image shares one base grid
             eta_l = eta[:, perm]
             x_rows = jnp.broadcast_to(x_bias, (eta.shape[0], x_bias.shape[-1]))
-            lb, ub = crown_mlp_bounds(Ws, bs, eta_l, eps, x_rows)
-            if self.scale_nominal:
-                lb, ub = ibp_sigmoid(lb, ub, eta_l - eps, eta_l + eps, a1, s1, a2)
-            f_lb, f_ub = ibp_cbf_qp(
-                eta_l, eps, lb, ub, a1, s1, a2, with_upper=self.with_upper
-            )
-            vdot = worst_case_vdot(eta_l, eps, f_lb, f_ub, label)
+
+            def post(lb, ub):
+                # the rest of the certificate chain after the MLP bounds
+                if self.scale_nominal:
+                    lb, ub = ibp_sigmoid(
+                        lb, ub, eta_l - eps, eta_l + eps, a1, s1, a2
+                    )
+                f_lb, f_ub = ibp_cbf_qp(
+                    eta_l, eps, lb, ub, a1, s1, a2,
+                    with_upper=self.with_upper,
+                )
+                return worst_case_vdot(eta_l, eps, f_lb, f_ub, label)
+
+            alphas = None
+            if self.alpha_iters:
+                # tighten the ReLU lower slopes against the actual
+                # certified quantity (sound for every iterate)
+                alphas = optimize_crown_alphas(
+                    Ws, bs, eta_l, eps, x_rows, loss_fn=post,
+                    iters=self.alpha_iters,
+                )
+            lb, ub = crown_mlp_bounds(Ws, bs, eta_l, eps, x_rows, alphas)
+            vdot = post(lb, ub)
             vdot = jnp.where(valid, vdot, -jnp.inf)
             return jnp.max(vdot) + self.kappa
 

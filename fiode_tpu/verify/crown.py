@@ -24,12 +24,17 @@ CROWN must be at least as tight, and both must contain sampled values).
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
-__all__ = ["crown_mlp_bounds", "ibp_mlp_bounds", "relu_relaxation"]
+__all__ = [
+    "crown_mlp_bounds",
+    "ibp_mlp_bounds",
+    "relu_relaxation",
+    "optimize_crown_alphas",
+]
 
 
 def relu_relaxation(l, u):
@@ -121,6 +126,7 @@ def crown_mlp_bounds(
     eta0: jax.Array,
     eps: float,
     x_bias: jax.Array,
+    alphas: Optional[Sequence[jax.Array]] = None,
 ):
     """Elementwise output bounds of the ReLU MLP over the eta Linf box.
 
@@ -131,6 +137,13 @@ def crown_mlp_bounds(
       eta0: (N, n) box centers (grid cells).
       eps:  Linf half-width (1/T).
       x_bias: (m1,) or (N, m1) static-input contribution U @ x_feat.
+      alphas: optional alpha-CROWN lower-slope overrides, one (N, m_j)
+        array in [0, 1] per hidden layer.  Sound for ANY such value —
+        relu(z) >= alpha*z holds globally for alpha in [0,1] — so these
+        can be optimized against any objective without a soundness proof
+        obligation (auto_LiRPA's 'CROWN-Optimized'/alpha-CROWN method;
+        capability beyond the reference, which uses plain CROWN).
+        Stable neurons keep their exact slopes regardless of the override.
 
     Returns: (lb, ub), each (N, out).
     """
@@ -140,8 +153,76 @@ def crown_mlp_bounds(
     relax = []
     for j in range(1, L):
         lj, uj = _backward_from(j, Ws, bs, relax, eta0, eps, x_bias)
-        relax.append(relu_relaxation(lj, uj))
+        r = relu_relaxation(lj, uj)
+        if alphas is not None:
+            a_up, b_up, a_lo, b_lo = r
+            unstable = (lj < 0) & (uj > 0)
+            a_lo = jnp.where(
+                unstable, jnp.clip(alphas[j - 1], 0.0, 1.0), a_lo
+            )
+            r = (a_up, b_up, a_lo, b_lo)
+        relax.append(r)
     return _backward_from(L, Ws, bs, relax, eta0, eps, x_bias)
+
+
+def optimize_crown_alphas(
+    Ws: Sequence[jax.Array],
+    bs: Sequence[jax.Array],
+    eta0: jax.Array,
+    eps: float,
+    x_bias: jax.Array,
+    loss_fn: Callable,
+    iters: int = 8,
+    lr: float = 0.25,
+):
+    """Projected-gradient alpha-CROWN: pick lower slopes that minimize
+    ``loss_fn(lb, ub) -> (N,)`` per cell.
+
+    Intermediate pre-activation bounds are computed once with the standard
+    heuristic and held fixed (standard alpha-CROWN practice); only the
+    final backward pass sees the optimized slopes, and soundness holds for
+    every iterate (see crown_mlp_bounds), so no certification logic
+    changes.  Returns the optimized ``alphas`` list; pass it back into
+    ``crown_mlp_bounds``.
+    """
+    if x_bias.ndim == 1:
+        x_bias = jnp.broadcast_to(x_bias, (eta0.shape[0], x_bias.shape[0]))
+    # initial slopes = the standard heuristic
+    L = len(Ws)
+    relax = []
+    alphas0 = []
+    for j in range(1, L):
+        lj, uj = _backward_from(j, Ws, bs, relax, eta0, eps, x_bias)
+        r = relu_relaxation(lj, uj)
+        relax.append(r)
+        alphas0.append(r[2])
+
+    def per_cell_loss(alphas):
+        lb, ub = crown_mlp_bounds(Ws, bs, eta0, eps, x_bias, alphas)
+        return loss_fn(lb, ub)  # (N,)
+
+    grad_fn = jax.grad(lambda a: jnp.sum(per_cell_loss(a)))
+
+    # track the best iterate PER CELL so the result is never worse than
+    # the heuristic start (signed GD on a nonconvex objective can
+    # overshoot; every iterate is sound, so keeping the best is free)
+    best = list(alphas0)
+    best_loss = per_cell_loss(alphas0)
+    alphas = alphas0
+    for i in range(iters):  # unrolled under jit; iters is small and static
+        g = grad_fn(alphas)
+        step = lr / (1.0 + 0.5 * i)  # decaying signed steps: bounded domain
+        alphas = [
+            jnp.clip(a - step * jnp.sign(gi), 0.0, 1.0)
+            for a, gi in zip(alphas, g)
+        ]
+        cur = per_cell_loss(alphas)
+        better = cur < best_loss
+        best = [
+            jnp.where(better[:, None], a, b) for a, b in zip(alphas, best)
+        ]
+        best_loss = jnp.where(better, cur, best_loss)
+    return best
 
 
 def ibp_mlp_bounds(Ws, bs, eta0, eps, x_bias):

@@ -124,6 +124,56 @@ class TestCrown:
         # bounds are not vacuous: something comes close to the bound
         assert worst_gap < 1.0
 
+    def test_alpha_crown_sound_for_any_slopes_and_tighter_optimized(self):
+        from fiode_tpu.verify.crown import optimize_crown_alphas
+
+        key = jax.random.PRNGKey(3)
+        Ws, bs, x_bias = random_mlp(key)
+        eta0 = jax.random.uniform(jax.random.PRNGKey(4), (16, 6))
+        eta0 = eta0 / eta0.sum(-1, keepdims=True)
+        eps = 0.08
+        lb0, ub0 = crown_mlp_bounds(Ws, bs, eta0, eps, x_bias)
+
+        # soundness holds for ARBITRARY alpha in [0,1] (relu(z) >= alpha*z
+        # globally), fuzz a few random slope choices
+        for s in range(3):
+            ks = jax.random.split(jax.random.PRNGKey(10 + s), 2)
+            alphas = [
+                jax.random.uniform(ks[0], (16, Ws[0].shape[0])),
+                jax.random.uniform(ks[1], (16, Ws[1].shape[0])),
+            ]
+            lb, ub = crown_mlp_bounds(Ws, bs, eta0, eps, x_bias, alphas)
+            key = jax.random.PRNGKey(20 + s)
+            for _ in range(10):
+                key, k = jax.random.split(key)
+                d = jax.random.uniform(
+                    k, eta0.shape, minval=-eps, maxval=eps
+                )
+                f = np.asarray(mlp_forward(Ws, bs, x_bias, eta0 + d))
+                assert (f >= np.asarray(lb) - 1e-4).all()
+                assert (f <= np.asarray(ub) + 1e-4).all()
+
+        # optimizing the slopes against sum(ub - lb) must not be looser
+        # than the heuristic on that objective, and typically tightens
+        alphas = jax.jit(
+            lambda: optimize_crown_alphas(
+                Ws, bs, eta0, eps, x_bias,
+                loss_fn=lambda lb, ub: jnp.sum(ub - lb, -1), iters=8,
+            )
+        )()
+        lb1, ub1 = crown_mlp_bounds(Ws, bs, eta0, eps, x_bias, alphas)
+        gap0 = float(jnp.sum(ub0 - lb0))
+        gap1 = float(jnp.sum(ub1 - lb1))
+        assert gap1 <= gap0 + 1e-4, (gap0, gap1)
+        # sampled values stay inside the optimized bounds
+        key = jax.random.PRNGKey(40)
+        for _ in range(10):
+            key, k = jax.random.split(key)
+            d = jax.random.uniform(k, eta0.shape, minval=-eps, maxval=eps)
+            f = np.asarray(mlp_forward(Ws, bs, x_bias, eta0 + d))
+            assert (f >= np.asarray(lb1) - 1e-4).all()
+            assert (f <= np.asarray(ub1) + 1e-4).all()
+
     def test_corner_values_tight_for_linear_net(self):
         # with no hidden relu ambiguity (positive pre-activations) CROWN is
         # exact at a box corner for a monotone path
@@ -267,6 +317,29 @@ class TestCertifierEndToEnd:
         assert (
             ~res_c.certified | res_l.larger_T_certified
         ).all(), "CROWN certified an image whose exact grid values violate"
+
+    def test_alpha_crown_certifier_no_looser_and_consistent(self, tmp_path):
+        # alpha-CROWN refinement may only move per-image worst Vdot down:
+        # its certified set contains plain CROWN's, and stays inside the
+        # exact-grid (larger-T Lipschitz) certified set
+        model, params, x = self._make(tmp_path)
+        y = np.asarray([0, 1, 2, 0, 1, 2])
+        plain = Certifier(model, params, T=8, eps_input=0.1, chunk=64)
+        alpha = Certifier(
+            model, params, T=8, eps_input=0.1, chunk=64, alpha_iters=3
+        )
+        res_p = plain.certify(np.asarray(x), y, method="crown",
+                              early_exit=False)
+        res_a = alpha.certify(np.asarray(x), y, method="crown",
+                              early_exit=False)
+        assert (~res_p.certified | res_a.certified).all(), (
+            "alpha-CROWN lost a certificate plain CROWN had"
+        )
+        res_l = plain.certify(np.asarray(x), y, method="lipschitz",
+                              early_exit=False)
+        assert (~res_a.certified | res_l.larger_T_certified).all(), (
+            "alpha-CROWN certified an image with exact grid violations"
+        )
 
     def test_lips_early_exit_matches_full_sweep(self, tmp_path):
         # Early exit may only fire once BOTH certificates are decided for

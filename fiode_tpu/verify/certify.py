@@ -71,6 +71,7 @@ class Certifier:
         grid: Optional[np.ndarray] = None,
         std_min: Optional[float] = None,
         alpha_iters: int = 0,
+        matmul_precision: str = "float32",
     ):
         self.model = model
         self.params = params
@@ -83,6 +84,12 @@ class Certifier:
         # reference's method; >0 tightens the ReLU lower slopes against
         # the worst-case-Vdot objective — ~(2*iters+1)x the bound cost)
         self.alpha_iters = int(alpha_iters)
+        # certification-grade numerics: TPU matmuls default to bf16
+        # passes whose ~1e-2 rounding can flip borderline cells either
+        # way (observed run-to-run on v5e); certificates are computed at
+        # float32 unless the caller explicitly trades soundness margin
+        # for speed.  The reference certifies in fp32 CUDA throughout.
+        self.matmul_precision = matmul_precision
         self.n = model.dynamics.n_hidden
         dyn = model.dynamics
         self.alpha_1, self.alpha_2, self.sigma_1 = (
@@ -179,7 +186,8 @@ class Certifier:
                 )(Ws, bs, x_biases, labels, perms, etas[i], valids[i])
                 return jnp.maximum(worst, w)
 
-            return jax.lax.fori_loop(0, etas.shape[0], body, worst0)
+            with jax.default_matmul_precision(self.matmul_precision):
+                return jax.lax.fori_loop(0, etas.shape[0], body, worst0)
 
         return superchunk_fn
 
@@ -221,7 +229,8 @@ class Certifier:
                 )(params, feats, labels, perms, etas[i], valids[i])
                 return jnp.maximum(wf, vf), jnp.maximum(wl, vl)
 
-            return jax.lax.fori_loop(0, etas.shape[0], body, worst0)
+            with jax.default_matmul_precision(self.matmul_precision):
+                return jax.lax.fori_loop(0, etas.shape[0], body, worst0)
 
         return superchunk_fn
 

@@ -114,9 +114,10 @@ def apgd_attack(
     if norm == "Linf":
         delta = jax.random.uniform(key, x.shape, minval=-eps, maxval=eps)
     else:
-        d = jax.random.normal(key, x.shape)
+        k_dir, k_rad = jax.random.split(key)
+        d = jax.random.normal(k_dir, x.shape)
         d = _normalize_grad(d, "L2")
-        delta = d * eps * jax.random.uniform(key, bshape)
+        delta = d * eps * jax.random.uniform(k_rad, bshape)
     x0 = x
     xk = _project(x + delta, x0, eps, norm)
     lv, g = loss_and_grad(xk)

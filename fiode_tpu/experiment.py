@@ -117,6 +117,7 @@ def build_trainer(cfg: dict, run_dir: Optional[str] = None) -> LyapunovTrainer:
         cfg["dataset"]["name"], cfg.get("data_root", "data"),
         seed=int(cfg.get("seed", 0)),
         synthetic_size=int(cfg.get("synthetic_size", 4096)),
+        synthetic_hardness=float(cfg.get("synthetic_hardness", 0.0)),
     )
     model = build_model(cfg)
     sampler_nodes = _ordered_callbacks(cfg, "_sampler_callback_dict")
@@ -263,7 +264,9 @@ def run_autoattack(cfg: dict, run_dir: str = ".", max_images=None,
         norm="L2" if str(cfg.get("norm", "2")) in ("2", "L2") else "Linf",
         attacks_to_run=attacks,
         n_iter=int(cfg.get("attack_n_iter", 100)),
-        square_queries=int(cfg.get("attack_square_queries", 1000)),
+        # 5000 queries = the autoattack package's 'standard' version
+        # (reference eval_autoattack.py:51 semantics)
+        square_queries=int(cfg.get("attack_square_queries", 5000)),
     )
     robust_total, n_total = 0, 0
     key = jax.random.PRNGKey(0)

@@ -129,8 +129,13 @@ class CayleyLinear(nn.Module):
     def __call__(self, x):
         in_features = x.shape[-1]
         if self.cached:
+            # NaN init: a cached twin used without cache_cayley_params is a
+            # bug (it would otherwise silently emit zero features); NaN
+            # surfaces the misuse at the first forward
             Q = self.param(
-                "Q", nn.initializers.zeros, (self.features, in_features)
+                "Q",
+                lambda _k, s: jnp.full(s, jnp.nan, jnp.float32),
+                (self.features, in_features),
             )
         else:
             W = self.param(
@@ -197,9 +202,11 @@ class CayleyConv(nn.Module):
             # so the spatial size is recoverable from the shape
             n = x.shape[-1]
             nf = n // 2 + 1
+            # NaN init for the same reason as CayleyLinear's cached Q:
+            # an un-cached twin must fail loudly, not emit zeros
             Qf = self.param(
                 "Q",
-                lambda _k, s: jnp.zeros(s, jnp.complex64),
+                lambda _k, s: jnp.full(s, jnp.nan, jnp.complex64),
                 (n, nf, self.features, ci),
             )
             Qf = Qf.reshape(n * nf, self.features, ci)

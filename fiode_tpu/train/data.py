@@ -128,16 +128,27 @@ def _load_cifar10(root: Path):
     return None
 
 
-def _synthetic(name: str, n_train=4096, n_test=512, seed=0):
-    """Deterministic class-structured fake data (per-class gaussian blobs)."""
+def _synthetic(name: str, n_train=4096, n_test=512, seed=0, hardness=0.0):
+    """Deterministic class-structured fake data (per-class gaussian blobs).
+
+    ``hardness`` in [0, 1] makes the task non-separable: prototypes are
+    pulled toward their mean (overlapping class structure) and the noise
+    grows, so clean accuracy < 100% and attacks face a real decision
+    boundary.  0.0 keeps the original well-separated set (all committed
+    round-1/2 artifacts), bit-identical for the same seed.
+    """
     c, hw, ncls, _, _ = DATASET_INFO[name]
     rng = np.random.default_rng(seed)
     protos = rng.uniform(0.2, 0.8, size=(ncls, c, hw, hw)).astype(np.float32)
+    if hardness > 0.0:
+        lam = 0.7 * float(hardness)
+        protos = (1.0 - lam) * protos + lam * protos.mean(0, keepdims=True)
+    noise = 0.1 + 0.25 * float(hardness)
 
     def make(n, s):
         r = np.random.default_rng(s)
         y = r.integers(0, ncls, size=n).astype(np.int32)
-        x = protos[y] + 0.1 * r.standard_normal((n, c, hw, hw)).astype(np.float32)
+        x = protos[y] + noise * r.standard_normal((n, c, hw, hw)).astype(np.float32)
         return np.clip(x, 0.0, 1.0), y
 
     tx, ty = make(n_train, seed + 1)
@@ -152,6 +163,7 @@ def load_dataset(
     seed: int = 0,
     allow_synthetic: bool = True,
     synthetic_size: int = 4096,
+    synthetic_hardness: float = 0.0,
 ) -> Dataset:
     root = Path(data_root)
     raw = None
@@ -171,7 +183,8 @@ def load_dataset(
         if not allow_synthetic:
             raise FileNotFoundError(f"no {name} files under {root}")
         raw = _synthetic(name, n_train=synthetic_size,
-                         n_test=max(synthetic_size // 8, 64))
+                         n_test=max(synthetic_size // 8, 64),
+                         hardness=synthetic_hardness)
         synthetic = True
     tx, ty, sx, sy = raw
 

@@ -71,6 +71,7 @@ class Certifier:
         grid: Optional[np.ndarray] = None,
         std_min: Optional[float] = None,
         alpha_iters: int = 0,
+        alpha_objective: str = "vdot",
         matmul_precision: str = "float32",
     ):
         self.model = model
@@ -81,9 +82,22 @@ class Certifier:
         self.scale_nominal = scale_nominal
         self.with_upper = with_upper
         # alpha-CROWN refinement steps per chunk (0 = plain CROWN, the
-        # reference's method; >0 tightens the ReLU lower slopes against
-        # the worst-case-Vdot objective — ~(2*iters+1)x the bound cost)
+        # reference's method; >0 tightens the ReLU lower slopes).
+        # alpha_objective picks what the slopes are optimized against:
+        #   "vdot"  — the certified quantity itself (through the QP interval
+        #             propagation; its 30-iteration bisection is nearly
+        #             piecewise-constant, so gradients are noisy and each
+        #             iter costs ~2x the full chain);
+        #   "width" — total MLP bound width sum(ub - lb) per cell, a smooth
+        #             surrogate: the QP corner construction is monotone in
+        #             the [lb, ub] enclosure, so tighter MLP boxes can only
+        #             tighten the projected bounds.  Much cheaper gradient
+        #             (no QP in the differentiated graph).
+        # Soundness is unaffected either way (every alpha in [0,1] is sound).
         self.alpha_iters = int(alpha_iters)
+        if alpha_objective not in ("vdot", "width"):
+            raise ValueError(alpha_objective)
+        self.alpha_objective = alpha_objective
         # certification-grade numerics: TPU matmuls default to bf16
         # passes whose ~1e-2 rounding can flip borderline cells either
         # way (observed run-to-run on v5e); certificates are computed at
@@ -120,6 +134,10 @@ class Certifier:
         if grid is None:
             grid = enumerate_decision_boundary(self.n, T)
         self.grid = np.asarray(grid, np.float32)
+        if len(self.grid) == 0:
+            raise ValueError(
+                "Certifier needs a non-empty decision-boundary grid"
+            )
 
         self._crown_chunk = self._make_crown_chunk()
         self._lips_chunk = self._make_lips_chunk()
@@ -157,10 +175,14 @@ class Certifier:
 
             alphas = None
             if self.alpha_iters:
-                # tighten the ReLU lower slopes against the actual
-                # certified quantity (sound for every iterate)
+                # tighten the ReLU lower slopes (sound for every iterate);
+                # objective per self.alpha_objective (see __init__)
+                if self.alpha_objective == "width":
+                    alpha_loss = lambda lb, ub: jnp.sum(ub - lb, axis=-1)
+                else:
+                    alpha_loss = post
                 alphas = optimize_crown_alphas(
-                    Ws, bs, eta_l, eps, x_rows, loss_fn=post,
+                    Ws, bs, eta_l, eps, x_rows, loss_fn=alpha_loss,
                     iters=self.alpha_iters,
                 )
             lb, ub = crown_mlp_bounds(Ws, bs, eta_l, eps, x_rows, alphas)

@@ -208,6 +208,20 @@ class TestCachedBackboneTwins:
             np.asarray(y_train), np.asarray(y_test), atol=1e-4
         )
 
+    def test_uncached_twin_fails_loudly(self):
+        """A cached twin used WITHOUT cache_cayley_params must produce NaN
+        (not silent zeros) so the misuse surfaces at the first forward."""
+        from fiode_tpu.models.backbones import make_backbone
+
+        bb = make_backbone(
+            "ORTHO_KWLarge_Concat_test", out_dim=8, act="GroupSort",
+            mu=(0.5,), std=(0.25,),
+        )
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 3, 8, 8))
+        params = jax.jit(bb.init)(jax.random.PRNGKey(1), x)
+        y = jax.jit(bb.apply)(params, x)
+        assert np.isnan(np.asarray(y)).any()
+
     def test_inter_variant_exposes_intermediate_features(self):
         from fiode_tpu.models.backbones import make_backbone
 

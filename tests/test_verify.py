@@ -341,6 +341,35 @@ class TestCertifierEndToEnd:
             "alpha-CROWN certified an image with exact grid violations"
         )
 
+    def test_alpha_width_objective_sound_and_no_looser(self, tmp_path):
+        # the cheap pre-QP "width" objective (no QP bisection in the
+        # differentiated graph) must obey the same soundness containments
+        model, params, x = self._make(tmp_path)
+        y = np.asarray([0, 1, 2, 0, 1, 2])
+        plain = Certifier(model, params, T=8, eps_input=0.1, chunk=64)
+        width = Certifier(
+            model, params, T=8, eps_input=0.1, chunk=64, alpha_iters=3,
+            alpha_objective="width",
+        )
+        res_p = plain.certify(np.asarray(x), y, method="crown",
+                              early_exit=False)
+        res_w = width.certify(np.asarray(x), y, method="crown",
+                              early_exit=False)
+        res_l = plain.certify(np.asarray(x), y, method="lipschitz",
+                              early_exit=False)
+        assert (~res_w.certified | res_l.larger_T_certified).all(), (
+            "width-objective alpha-CROWN certified an image with exact "
+            "grid violations"
+        )
+        # width-optimized slopes tighten the MLP box; the QP corner map is
+        # monotone in the enclosure, so certificates can only be gained
+        assert (~res_p.certified | res_w.certified).all()
+
+    def test_empty_grid_rejected(self, tmp_path):
+        model, params, x = self._make(tmp_path)
+        with pytest.raises(ValueError):
+            Certifier(model, params, T=8, grid=np.zeros((0, 3), np.float32))
+
     def test_lips_early_exit_matches_full_sweep(self, tmp_path):
         # Early exit may only fire once BOTH certificates are decided for
         # every image; a truncated sweep must never flip a larger-T verdict

@@ -40,7 +40,8 @@ def main():
     train_s = time.time() - t0
 
     t0 = time.time()
-    res = certify_segway(str(out / "segway.pkl"), r=args.r)
+    res = certify_segway(str(out / "segway.pkl"), r=args.r,
+                         plot_dir=str(out))
     certify_s = time.time() - t0
 
     results = {

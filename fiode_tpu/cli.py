@@ -54,6 +54,13 @@ def main(argv=None):
         sp = add(name, "certify")
         sp.add_argument("--run-dir", required=True)
         sp.add_argument("--max-images", type=int, default=None)
+        sp.add_argument("--image-batch", type=int, default=None,
+                        help="stream the sweep in image batches with "
+                        "running clean/certified counts "
+                        "(reference certify_crown.py:161-166)")
+        sp.add_argument("--stream-out", default=None,
+                        help="append per-batch JSON lines here; summary "
+                        "written to <path>.json")
 
     sp = add("eval-autoattack", "certify")
     sp.add_argument("--run-dir", required=True)
@@ -69,6 +76,9 @@ def main(argv=None):
     sp.add_argument("--model", default="run_data/segway.pkl")
     sp.add_argument("--r", type=float, default=0.01)
     sp.add_argument("--level", type=float, default=0.15)
+    sp.add_argument("--plot-dir", default=None,
+                    help="write Vdot-phase/streamline and 3-D trajectory "
+                    "figures here (reference certify_segway.py:69-139)")
 
     args = p.parse_args(argv)
 
@@ -89,7 +99,8 @@ def main(argv=None):
         cfg = _compose(args, "certify")
         run_certify(
             cfg, method=args.cmd.split("-")[1], run_dir=args.run_dir,
-            max_images=args.max_images,
+            max_images=args.max_images, image_batch=args.image_batch,
+            stream_out=args.stream_out,
         )
     elif args.cmd == "eval-autoattack":
         from .experiment import run_autoattack
@@ -110,7 +121,8 @@ def main(argv=None):
     elif args.cmd == "segway-certify":
         from .control.certify_segway import certify_segway
 
-        certify_segway(args.model, r=args.r, level=args.level)
+        certify_segway(args.model, r=args.r, level=args.level,
+                       plot_dir=args.plot_dir)
 
 
 if __name__ == "__main__":

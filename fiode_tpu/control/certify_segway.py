@@ -74,6 +74,7 @@ def certify_segway(
     chunk: int = 65536,
     simulate_trajectories: bool = True,
     verbose: bool = True,
+    plot_dir: Optional[str] = None,
 ) -> SegwayCertifyResult:
     if model is None:
         model = load_pytree(model_path)
@@ -127,6 +128,7 @@ def certify_segway(
         )
 
     drift = None
+    traj = None
     if simulate_trajectories:
         key = jax.random.PRNGKey(0)
         x0 = random_uniform(
@@ -137,6 +139,7 @@ def certify_segway(
             x0_in = x0_in[:5]
             ts = np.linspace(0.0, 50.0, 200)
             xs, _ = system.simulate(jnp.asarray(x0_in), ctrl, ts)
+            traj = np.asarray(xs)
             levels = np.asarray(
                 jax.vmap(lambda x: lya(x)[:, 0])(xs)
             )  # (T, N)
@@ -146,6 +149,34 @@ def certify_segway(
                     f"[certify_segway] {len(x0_in)} trajectories, "
                     f"max level drift above start: {drift:.4f}"
                 )
+
+    if plot_dir is not None:
+        # certify-time visual verification (reference
+        # certify_segway.py:69-139: Vdot contours + streamlines + 3-D
+        # closed-loop trajectories)
+        from pathlib import Path
+
+        from ..utils.plotting import plot_segway_phase, plot_segway_traj3d
+
+        pdir = Path(plot_dir)
+        pdir.mkdir(parents=True, exist_ok=True)
+        vdot_fn = jax.jit(
+            lambda pts: lya.h_dot(pts, system(pts, ctrl(pts)))[:, 0]
+        )
+        f_fn = jax.jit(lambda pts: system(pts, ctrl(pts)))
+        plot_segway_phase(
+            jax.jit(lambda pts: lya(pts)), vdot_fn,
+            phi_region=phi_region, region=region, level=level,
+            level_lb=level_lb, level_ub=level_ub, f_fn=f_fn,
+            save=str(pdir / "segway_vdot_phase.png"),
+        )
+        if traj is not None:
+            plot_segway_traj3d(
+                traj, level_band_pts=eta,
+                save=str(pdir / "segway_traj3d.png"),
+            )
+        if verbose:
+            print(f"[certify_segway] plots written under {pdir}")
     return SegwayCertifyResult(
         ub_max=ub_max,
         certified=certified,

@@ -212,7 +212,9 @@ def _restore_params(cfg, model, run_dir):
 
 
 def run_certify(cfg: dict, method: str = "crown", run_dir: str = ".",
-                grid=None, max_images: Optional[int] = None):
+                grid=None, max_images: Optional[int] = None,
+                image_batch: Optional[int] = None,
+                stream_out: Optional[str] = None):
     from .verify.certify import Certifier
 
     model = build_model(cfg)
@@ -228,11 +230,19 @@ def run_certify(cfg: dict, method: str = "crown", run_dir: str = ".",
         eps_input=float(cfg.get("eps", 36 / 255)),
         scale_nominal=bool(cfg["module"]["dynamics"]["scale_nominal"]),
         grid=grid,
+        matmul_precision=str(cfg.get("matmul_precision", "float32")),
     )
-    res = cert.certify(
-        ds.test_x[start:end], ds.test_y[start:end], method=method,
-        progress_every=10,
-    )
+    if image_batch:
+        # protocol-style streamed sweep (certify_crown.py:122,161-172)
+        res = cert.certify_stream(
+            ds.test_x[start:end], ds.test_y[start:end], method=method,
+            image_batch=image_batch, out_path=stream_out, start_ind=start,
+        )
+    else:
+        res = cert.certify(
+            ds.test_x[start:end], ds.test_y[start:end], method=method,
+            progress_every=10,
+        )
     print(
         f"[{method}] range {start}:{end} clean={res.clean_acc:.4f} "
         f"certified={res.certified_acc:.4f} "

@@ -391,3 +391,99 @@ class Certifier:
         )
         res.larger_T_certified = larger_T_certified
         return res
+
+    def certify_stream(
+        self,
+        images: np.ndarray,
+        labels: np.ndarray,
+        method: str = "crown",
+        image_batch: int = 10,
+        out_path: Optional[str] = None,
+        start_ind: int = 0,
+    ) -> CertifyResult:
+        """Protocol-style streamed sweep: certify images in batches,
+        printing cumulative clean/certified accuracy after every batch
+        (the reference streams its running ratios every 10 images,
+        certify_crown.py:161-166) and appending one JSON line per batch to
+        ``out_path`` (resume-friendly audit log; final summary written to
+        ``out_path`` with suffix .json).
+
+        ``start_ind`` only offsets the printed/recorded test indices
+        (certify_crown.py:122 sweeps indices [start_ind, end_ind))."""
+        import json
+
+        n = len(images)
+        clean = np.zeros(n, bool)
+        certified = np.zeros(n, bool)
+        larger_T = np.zeros(n, bool)
+        cells_checked = 0
+        t0 = time.time()
+        log_fh = open(out_path, "a") if out_path else None
+        try:
+            for i in range(0, n, image_batch):
+                sl = slice(i, min(i + image_batch, n))
+                r = self.certify(images[sl], labels[sl], method=method,
+                                 early_exit=True)
+                clean[sl] = r.clean
+                certified[sl] = r.certified
+                larger_T[sl] = r.larger_T_certified
+                cells_checked += r.cells_checked
+                done = sl.stop
+                el = time.time() - t0
+                msg = (
+                    f"[certify:{method}] idx {start_ind}..."
+                    f"{start_ind + done - 1}: "
+                    f"clean {clean[:done].sum()}/{done} "
+                    f"certified {certified[:done].sum()}/{done} "
+                    f"({cells_checked / max(el, 1e-9):,.0f} cells/s, "
+                    f"{el:,.0f}s)"
+                )
+                print(msg, flush=True)
+                if log_fh:
+                    log_fh.write(json.dumps({
+                        "idx_from": start_ind + sl.start,
+                        "idx_to": start_ind + done - 1,
+                        "clean": int(clean[:done].sum()),
+                        "certified": int(certified[:done].sum()),
+                        "n": done,
+                        "batch_certified_idx": (
+                            start_ind + sl.start
+                            + np.nonzero(r.certified)[0]
+                        ).tolist(),
+                        "cells_checked": cells_checked,
+                        "seconds": el,
+                        "matmul_precision": self.matmul_precision,
+                    }) + "\n")
+                    log_fh.flush()
+        finally:
+            if log_fh:
+                log_fh.close()
+        res = CertifyResult(
+            clean=clean,
+            certified=certified,
+            cells_per_image=len(self.grid),
+            cells_checked=cells_checked,
+            seconds=time.time() - t0,
+        )
+        res.larger_T_certified = larger_T
+        if out_path:
+            summary = {
+                "n_images": n,
+                "start_ind": start_ind,
+                "method": method,
+                "matmul_precision": self.matmul_precision,
+                "T": self.T,
+                "kappa": self.kappa,
+                "clean_acc": res.clean_acc,
+                "certified_acc": res.certified_acc,
+                "certified_idx": (
+                    start_ind + np.nonzero(certified)[0]
+                ).tolist(),
+                "clean_idx": (start_ind + np.nonzero(clean)[0]).tolist(),
+                "cells_checked": cells_checked,
+                "cells_per_sec": res.cells_per_sec,
+                "seconds": res.seconds,
+            }
+            with open(str(out_path) + ".json", "w") as fh:
+                json.dump(summary, fh, indent=2)
+        return res

@@ -74,6 +74,54 @@ def _backward_from(
     b = bs[layer_idx - 1]
     N = eta0.shape[0]
     out_dim = W.shape[0]
+
+    if layer_idx == 1:
+        # z1 itself: exact affine in eta
+        center = jnp.einsum("oi,ni->no", W, eta0) + b + x_bias
+        radius = eps * jnp.sum(jnp.abs(W), axis=-1)
+        return center - radius, center + radius
+
+    if layer_idx == 2 and out_dim >= Ws[0].shape[1]:
+        # Fast path for the hot second-layer bound (the only absorption is
+        # j=1, whose linear forms are still the STATIC weight W): the
+        # sign-split collapses via the sum/difference identity
+        #     W_pos u + W_neg l = [W (u + l) + |W| (u - l)] / 2
+        # into two contractions whose intermediates are (N, k, in) with the
+        # 128-wide ``in`` axis minor — instead of materialising the
+        # sign-split broadcast (N, out, in) form (a 128x128-per-cell HBM
+        # intermediate) or an (N, in, k) tensor whose k~10 minor axis pads
+        # to 128 TPU lanes.
+        a_up, b_up, a_lo, b_lo = relax[0]
+        W1, b1 = Ws[0], bs[0]
+        b1_row = b1 + x_bias  # (N, in)
+        W_abs = jnp.abs(W)
+        # relu upper/lower lines evaluated on the affine bias point
+        u_vec = a_up * b1_row + b_up
+        l_vec = a_lo * b1_row + b_lo
+        s = (u_vec + l_vec) @ W.T
+        d = (u_vec - l_vec) @ W_abs.T
+        cu = b + 0.5 * (s + d)
+        cl = b + 0.5 * (s - d)
+        # (N, k, in): k = eta dim (second-minor, small), in = 128 (minor)
+        W1t = W1.T  # (k, in)
+        Tsum = (a_up + a_lo)[:, None, :] * W1t[None]
+        Tdiff = (a_up - a_lo)[:, None, :] * W1t[None]
+        S = jnp.einsum("oi,nki->nko", W, Tsum)
+        D = jnp.einsum("oi,nki->nko", W_abs, Tdiff)
+        Lu_t = 0.5 * (S + D)  # (N, k, out)
+        Ll_t = 0.5 * (S - D)
+        ub = (
+            jnp.einsum("nko,nk->no", Lu_t, eta0)
+            + cu
+            + eps * jnp.sum(jnp.abs(Lu_t), 1)
+        )
+        lb = (
+            jnp.einsum("nko,nk->no", Ll_t, eta0)
+            + cl
+            - eps * jnp.sum(jnp.abs(Ll_t), 1)
+        )
+        return lb, ub
+
     # upper/lower linear forms: out <= Lu @ a_{j} + cu  (a_j = relu(z_j))
     Lu = jnp.broadcast_to(W, (N,) + W.shape)
     Ll = Lu
@@ -107,12 +155,6 @@ def _backward_from(
         cl = cl + jnp.einsum("noi,ni->no", Ll, jnp.broadcast_to(bj, (N, bj.shape[-1])) if bj.ndim == 1 else bj)
         Lu = jnp.einsum("noi,ik->nok", Lu, Wj)
         Ll = jnp.einsum("noi,ik->nok", Ll, Wj)
-
-    if layer_idx == 1:
-        # z1 itself: exact affine in eta
-        center = jnp.einsum("oi,ni->no", W, eta0) + b + x_bias
-        radius = eps * jnp.sum(jnp.abs(W), axis=-1)
-        return center - radius, center + radius
 
     # concretise:  out <= Lu eta + cu  over the Linf box around eta0
     ub = jnp.einsum("nok,nk->no", Lu, eta0) + cu + eps * jnp.sum(jnp.abs(Lu), -1)

@@ -125,8 +125,11 @@ class TestEndToEnd:
         res = certify_segway(
             str(tmp_path / "segway.pkl"), r=0.1,
             simulate_trajectories=True, verbose=False,
+            plot_dir=str(tmp_path / "plots"),
         )
         assert res.n_cells > 0
+        # certify-time figures (reference certify_segway.py:69-139)
+        assert (tmp_path / "plots" / "segway_vdot_phase.png").exists()
         assert np.isfinite(res.ub_max)
         # the certificate itself may or may not pass after a tiny training
         # run; what must hold is consistency: if certified, simulated

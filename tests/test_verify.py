@@ -365,6 +365,31 @@ class TestCertifierEndToEnd:
         # monotone in the enclosure, so certificates can only be gained
         assert (~res_p.certified | res_w.certified).all()
 
+    def test_certify_stream_matches_batch_and_logs(self, tmp_path):
+        # the streamed protocol sweep must agree with the one-shot batched
+        # sweep and leave a per-batch audit log + summary
+        import json
+
+        model, params, x = self._make(tmp_path)
+        y = np.asarray([0, 1, 2, 0, 1, 2])
+        cert = Certifier(model, params, T=8, eps_input=0.1, chunk=64)
+        out = tmp_path / "stream.jsonl"
+        res_s = cert.certify_stream(
+            np.asarray(x), y, method="crown", image_batch=2,
+            out_path=str(out), start_ind=100,
+        )
+        res_b = cert.certify(np.asarray(x), y, method="crown",
+                             early_exit=False)
+        np.testing.assert_array_equal(res_s.clean, res_b.clean)
+        np.testing.assert_array_equal(res_s.certified, res_b.certified)
+        lines = [json.loads(l) for l in out.read_text().splitlines()]
+        assert len(lines) == 3 and lines[-1]["n"] == 6
+        assert lines[0]["idx_from"] == 100
+        summary = json.loads((tmp_path / "stream.jsonl.json").read_text())
+        assert summary["certified_acc"] == res_b.certified_acc
+        assert summary["matmul_precision"] == "float32"
+        assert all(i >= 100 for i in summary["certified_idx"])
+
     def test_empty_grid_rejected(self, tmp_path):
         model, params, x = self._make(tmp_path)
         with pytest.raises(ValueError):

@@ -35,6 +35,10 @@ def main():
                     help="skip training; restore the run-dir's checkpoint")
     ap.add_argument("--seed", type=int, default=0,
                     help="training seed (reference seed_everything parity)")
+    ap.add_argument("--hardness", type=float, default=0.0,
+                    help="synthetic-dataset hardness in [0,1]: overlapping "
+                    "class prototypes + extra noise so clean accuracy < 1 "
+                    "and attacks face a real decision boundary")
     args = ap.parse_args()
 
     import jax
@@ -58,6 +62,7 @@ def main():
             f"++module.max_epochs={args.epochs}",
             "++module.init_fun.param_map.out_dim=10",
             f"++synthetic_size={args.synthetic_size}",
+            f"++synthetic_hardness={args.hardness}",
             f"++seed={args.seed}",
         ],
         "configs/classification",

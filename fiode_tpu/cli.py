@@ -66,6 +66,9 @@ def main(argv=None):
     sp.add_argument("--run-dir", required=True)
     sp.add_argument("--max-images", type=int, default=None)
     sp.add_argument("--attacks", default="apgd-ce,apgd-t,fab-t,square")
+    sp.add_argument("--out", default=None,
+                    help="write a JSON artifact (knobs, robust_idx, "
+                    "throughput) here")
 
     sp = sub.add_parser("segway-train")
     sp.add_argument("--save", default="run_data/segway.pkl")
@@ -109,6 +112,7 @@ def main(argv=None):
         run_autoattack(
             cfg, run_dir=args.run_dir, max_images=args.max_images,
             attacks=tuple(args.attacks.split(",")),
+            out_path=args.out,
         )
     elif args.cmd == "segway-train":
         from .control.train_segway import SegwayTrainConfig, train_segway

@@ -252,7 +252,8 @@ def run_certify(cfg: dict, method: str = "crown", run_dir: str = ".",
 
 
 def run_autoattack(cfg: dict, run_dir: str = ".", max_images=None,
-                   attacks=("apgd-ce", "apgd-t", "fab-t", "square")):
+                   attacks=("apgd-ce", "apgd-t", "fab-t", "square"),
+                   out_path: Optional[str] = None):
     from .attacks.autoattack import AutoAttackSuite
 
     model = build_model(cfg)
@@ -269,23 +270,53 @@ def run_autoattack(cfg: dict, run_dir: str = ".", max_images=None,
             model.solve(params, x, mode="scan").ys[-1], params.get("output")
         )
 
+    n_iter = int(cfg.get("attack_n_iter", 100))
+    # 5000 queries = the autoattack package's 'standard' version
+    # (reference eval_autoattack.py:51 semantics)
+    square_queries = int(cfg.get("attack_square_queries", 5000))
     suite = AutoAttackSuite(
         logits_fn, eps=float(cfg.get("eps", 36 / 255)),
         norm="L2" if str(cfg.get("norm", "2")) in ("2", "L2") else "Linf",
         attacks_to_run=attacks,
-        n_iter=int(cfg.get("attack_n_iter", 100)),
-        # 5000 queries = the autoattack package's 'standard' version
-        # (reference eval_autoattack.py:51 semantics)
-        square_queries=int(cfg.get("attack_square_queries", 5000)),
+        n_iter=n_iter,
+        square_queries=square_queries,
     )
     robust_total, n_total = 0, 0
+    robust_idx = []
     key = jax.random.PRNGKey(0)
+    t0 = time.time()
     for i in range(0, len(xs), bs):
         key, k = jax.random.split(key)
         bx = jnp.asarray(xs[i : i + bs])
         by = jnp.asarray(ys[i : i + bs])
         _, robust = suite.run(bx, by, k)
-        robust_total += int(jnp.sum(robust))
+        robust = np.asarray(robust)
+        robust_idx.extend((i + np.nonzero(robust)[0]).tolist())
+        robust_total += int(robust.sum())
         n_total += len(bx)
-        print(f"[autoattack] {n_total} imgs, robust acc {robust_total/n_total:.4f}")
+        el = time.time() - t0
+        print(
+            f"[autoattack] {n_total} imgs, robust acc "
+            f"{robust_total/n_total:.4f} ({n_total/max(el,1e-9):.2f} img/s)"
+        )
+    elapsed = time.time() - t0
+    if out_path:
+        import json
+
+        with open(out_path, "w") as fh:
+            json.dump({
+                "attacks": list(attacks),
+                "n_iter": n_iter,
+                "square_queries": square_queries,
+                "eps": float(cfg.get("eps", 36 / 255)),
+                "norm": str(cfg.get("norm", "2")),
+                "t_max": float(cfg["module"].get("t_max", 1.0)),
+                "n_images": n_total,
+                "robust_acc": robust_total / max(n_total, 1),
+                # audit trail (reference eval_autoattack.py:79-89 saves
+                # robust indices)
+                "robust_idx": robust_idx,
+                "seconds": elapsed,
+                "images_per_sec": n_total / max(elapsed, 1e-9),
+            }, fh, indent=2)
     return robust_total / max(n_total, 1)

@@ -99,10 +99,13 @@ def certify_segway(
 
     @jax.jit
     def chunk_ub(cells, valid):
-        _, ub = vdot_cell_bounds(system, Ws, bs, P, cells, r / 2)
-        # exact Vdot at the cell centers: separates "training failed"
-        # (exact > 0) from "bound too loose" (exact <= 0 < ub)
-        exact = lya.h_dot(cells, system(cells, ctrl(cells)))[:, 0]
+        # certification-grade numerics: float32 matmuls (PARITY.md
+        # "Numerics policy" — TPU bf16 default passes are screening-only)
+        with jax.default_matmul_precision("float32"):
+            _, ub = vdot_cell_bounds(system, Ws, bs, P, cells, r / 2)
+            # exact Vdot at the cell centers: separates "training failed"
+            # (exact > 0) from "bound too loose" (exact <= 0 < ub)
+            exact = lya.h_dot(cells, system(cells, ctrl(cells)))[:, 0]
         return (
             jnp.max(jnp.where(valid, ub, -jnp.inf)),
             jnp.max(jnp.where(valid, exact, -jnp.inf)),

@@ -27,6 +27,11 @@ def main():
     ap.add_argument("--end", type=int, default=100)
     ap.add_argument("--T", type=int, default=40)
     ap.add_argument("--alpha-iters", type=int, default=3)
+    ap.add_argument("--alpha-objective", default="vdot",
+                    choices=["vdot", "width"],
+                    help="'width' optimizes slopes against the smooth "
+                    "pre-QP bound width (cheap gradient, no bisection in "
+                    "the differentiated graph)")
     args = ap.parse_args()
 
     import numpy as np
@@ -67,11 +72,13 @@ def main():
         "plain_cells_per_sec": res_p.cells_per_sec,
         "failing_idx": (fail + args.start).tolist(),
         "alpha_iters": args.alpha_iters,
+        "alpha_objective": args.alpha_objective,
     }
     if len(fail):
         alpha = Certifier(tr.model, params, T=args.T, eps_input=36 / 255,
                           chunk=4096, grid=grid,
-                          alpha_iters=args.alpha_iters)
+                          alpha_iters=args.alpha_iters,
+                          alpha_objective=args.alpha_objective)
         t0 = time.time()
         res_a = alpha.certify(xs[fail], ys[fail], method="crown",
                               early_exit=False, progress_every=100)

@@ -62,6 +62,11 @@ def main(argv=None):
                         help="append per-batch JSON lines here; summary "
                         "written to <path>.json")
 
+    sp = sub.add_parser("summarize-stream")
+    sp.add_argument("stream", help="certify_stream JSONL audit log")
+    sp.add_argument("--out", default=None,
+                    help="write merged summary JSON here (default: print)")
+
     sp = add("eval-autoattack", "certify")
     sp.add_argument("--run-dir", required=True)
     sp.add_argument("--max-images", type=int, default=None)
@@ -105,6 +110,13 @@ def main(argv=None):
             max_images=args.max_images, image_batch=args.image_batch,
             stream_out=args.stream_out,
         )
+    elif args.cmd == "summarize-stream":
+        import json
+
+        from .verify.certify import summarize_stream
+
+        summary = summarize_stream(args.stream, out_path=args.out)
+        print(json.dumps(summary, indent=2))
     elif args.cmd == "eval-autoattack":
         from .experiment import run_autoattack
 

@@ -33,7 +33,75 @@ from .crown import crown_mlp_bounds, optimize_crown_alphas
 from .grid import enumerate_decision_boundary
 from .ibp_qp import ibp_cbf_qp, ibp_sigmoid, worst_case_vdot
 
-__all__ = ["Certifier", "CertifyResult"]
+__all__ = ["Certifier", "CertifyResult", "summarize_stream"]
+
+
+def summarize_stream(jsonl_path, out_path=None):
+    """Fold a ``certify_stream`` batch log (possibly written across several
+    resumed runs/segments) into one total summary dict.
+
+    Each JSON line carries segment-cumulative ``clean``/``certified``/``n``/
+    ``cells_checked``/``seconds`` counters plus the absolute
+    ``batch_certified_idx`` for that batch; a new segment starts whenever the
+    cumulative ``n`` does not grow (a resumed run restarts its counters).
+    Totals are the sum of each segment's final counters; certified indices
+    are the de-duplicated union across all batches.  This makes the
+    resume-friendly audit log (certify_crown.py:161-172 streams the same
+    running ratios) collapsible into the single-run summary shape.
+    """
+    import json
+
+    records = []
+    with open(jsonl_path) as fh:
+        for line in fh:
+            line = line.strip()
+            if line:
+                records.append(json.loads(line))
+    if not records:
+        raise ValueError(f"no records in {jsonl_path}")
+
+    segments = []  # list of final-record per segment
+    certified_idx = set()
+    covered = set()
+    last = None
+    for rec in records:
+        if last is not None and rec["n"] <= last["n"]:
+            segments.append(last)
+        certified_idx.update(rec["batch_certified_idx"])
+        covered.update(range(rec["idx_from"], rec["idx_to"] + 1))
+        last = rec
+    segments.append(last)
+
+    n_images = len(covered)
+    if sum(s["n"] for s in segments) != n_images:
+        raise ValueError(
+            f"{jsonl_path}: segments overlap in image indices; "
+            "clean counts would double-count — trim the log first"
+        )
+    clean = sum(s["clean"] for s in segments)
+    cells = sum(s["cells_checked"] for s in segments)
+    secs = sum(s["seconds"] for s in segments)
+    summary = {
+        "n_images": n_images,
+        "index_min": min(covered),
+        "index_max": max(covered),
+        "segments": len(segments),
+        "matmul_precision": sorted({
+            s.get("matmul_precision", "?") for s in segments
+        }),
+        "clean": clean,
+        "certified": len(certified_idx),
+        "clean_acc": clean / n_images,
+        "certified_acc": len(certified_idx) / n_images,
+        "certified_idx": sorted(certified_idx),
+        "cells_checked": cells,
+        "seconds": secs,
+        "cells_per_sec": cells / max(secs, 1e-9),
+    }
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(summary, fh, indent=2)
+    return summary
 
 
 @dataclasses.dataclass

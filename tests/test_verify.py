@@ -390,6 +390,42 @@ class TestCertifierEndToEnd:
         assert summary["matmul_precision"] == "float32"
         assert all(i >= 100 for i in summary["certified_idx"])
 
+    def test_summarize_stream_merges_resumed_segments(self, tmp_path):
+        # a killed-and-resumed sweep leaves two cumulative-counter segments
+        # in one jsonl; the summarizer must fold them into single-run totals
+        import json
+
+        from fiode_tpu.verify.certify import summarize_stream
+
+        def rec(i0, i1, clean, cert, n, idx, cells, secs):
+            return {"idx_from": i0, "idx_to": i1, "clean": clean,
+                    "certified": cert, "n": n, "batch_certified_idx": idx,
+                    "cells_checked": cells, "seconds": secs,
+                    "matmul_precision": "float32"}
+
+        out = tmp_path / "s.jsonl"
+        out.write_text("\n".join(json.dumps(r) for r in [
+            # segment 1: images 0-3 in two batches (counters cumulative)
+            rec(0, 1, 2, 1, 2, [0], 100, 1.0),
+            rec(2, 3, 4, 3, 4, [2, 3], 200, 2.0),
+            # segment 2 (resume): images 4-5, counters restart
+            rec(4, 5, 1, 1, 2, [5], 50, 0.5),
+        ]) + "\n")
+        s = summarize_stream(str(out), out_path=str(tmp_path / "sum.json"))
+        assert s["n_images"] == 6 and s["segments"] == 2
+        assert s["clean"] == 5 and s["certified"] == 4
+        assert s["certified_idx"] == [0, 2, 3, 5]
+        assert s["cells_checked"] == 250 and s["seconds"] == 2.5
+        assert json.loads((tmp_path / "sum.json").read_text()) == s
+        # overlapping segments would double-count clean images: reject
+        out2 = tmp_path / "bad.jsonl"
+        out2.write_text("\n".join(json.dumps(r) for r in [
+            rec(0, 1, 2, 1, 2, [0], 100, 1.0),
+            rec(1, 2, 2, 2, 2, [1, 2], 80, 1.0),
+        ]) + "\n")
+        with pytest.raises(ValueError):
+            summarize_stream(str(out2))
+
     def test_empty_grid_rejected(self, tmp_path):
         model, params, x = self._make(tmp_path)
         with pytest.raises(ValueError):

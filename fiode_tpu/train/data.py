@@ -131,19 +131,33 @@ def _load_cifar10(root: Path):
 def _synthetic(name: str, n_train=4096, n_test=512, seed=0, hardness=0.0):
     """Deterministic class-structured fake data (per-class gaussian blobs).
 
-    ``hardness`` in [0, 1] makes the task non-separable: prototypes are
-    pulled toward their mean (overlapping class structure) and the noise
-    grows, so clean accuracy < 100% and attacks face a real decision
-    boundary.  0.0 keeps the original well-separated set (all committed
-    round-1/2 artifacts), bit-identical for the same seed.
+    ``hardness`` in [0, 1] makes the task genuinely non-separable by
+    calibrating the typical class-pair prototype distance in units of the
+    per-pixel noise sigma: 6sigma at hardness->0+ (near-zero Bayes error)
+    down to 1.5sigma at hardness=1.  In 3072 raw dimensions only the
+    separation along the class discriminant matters, so an uncalibrated
+    "pull toward the mean" leaves the task linearly separable at any
+    blend factor — measured: a ridge probe still scores 100% at the old
+    hardness=0.9.  The sigma-calibrated scale puts test points within the
+    certification budget eps=36/255 of the Bayes boundary, so clean
+    accuracy < 100% and AutoAttack faces real adversarials.  0.0 keeps
+    the original well-separated set (all committed round-1/2 artifacts),
+    bit-identical for the same seed.
     """
     c, hw, ncls, _, _ = DATASET_INFO[name]
     rng = np.random.default_rng(seed)
     protos = rng.uniform(0.2, 0.8, size=(ncls, c, hw, hw)).astype(np.float32)
-    if hardness > 0.0:
-        lam = 0.7 * float(hardness)
-        protos = (1.0 - lam) * protos + lam * protos.mean(0, keepdims=True)
     noise = 0.1 + 0.25 * float(hardness)
+    if hardness > 0.0:
+        mean_p = protos.mean(0, keepdims=True)
+        resid = protos - mean_p
+        flat = resid.reshape(ncls, -1)
+        pd = np.sqrt(((flat[:, None] - flat[None]) ** 2).sum(-1))
+        d_mean = pd[~np.eye(ncls, dtype=bool)].mean()
+        sep_sigmas = 6.0 * (1.0 - float(hardness)) + 1.5 * float(hardness)
+        protos = (mean_p + (noise * sep_sigmas / d_mean) * resid).astype(
+            np.float32
+        )
 
     def make(n, s):
         r = np.random.default_rng(s)

@@ -6,6 +6,7 @@ Usage (hydra-compatible override spelling):
   python -m fiode_tpu certify-crown  --config-name cifar_certify --run-dir RUN [k=v ...]
   python -m fiode_tpu certify-lipschitz --config-name cifar_certify --run-dir RUN
   python -m fiode_tpu eval-autoattack   --config-name cifar_certify --run-dir RUN
+  python -m fiode_tpu summarize-stream  RUN/certify_stream.jsonl [--out SUMMARY.json]
   python -m fiode_tpu segway-train   [--save PATH]
   python -m fiode_tpu segway-certify [--model PATH]
 

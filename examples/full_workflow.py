@@ -39,6 +39,9 @@ def main():
                     help="synthetic-dataset hardness in [0,1]: overlapping "
                     "class prototypes + extra noise so clean accuracy < 1 "
                     "and attacks face a real decision boundary")
+    ap.add_argument("--override", action="append", default=[],
+                    help="extra ++key=value config overrides (repeatable), "
+                    "e.g. ++module.train_ode=true to blend the ODE-CE loss")
     args = ap.parse_args()
 
     import jax
@@ -64,6 +67,7 @@ def main():
             f"++synthetic_size={args.synthetic_size}",
             f"++synthetic_hardness={args.hardness}",
             f"++seed={args.seed}",
+            *args.override,
         ],
         "configs/classification",
     )

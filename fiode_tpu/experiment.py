@@ -111,14 +111,21 @@ def _build_scheduler(cfg: dict) -> Optional[CompositeSamplerScheduler]:
     return CompositeSamplerScheduler(schedulers, [float(w) for w in weights])
 
 
-def build_trainer(cfg: dict, run_dir: Optional[str] = None) -> LyapunovTrainer:
-    m = cfg["module"]
-    ds = load_dataset(
+def _load_cfg_dataset(cfg: dict):
+    """Dataset as the config describes it — all entry points (train,
+    certify, attack) must agree on seed/size/hardness so a model is always
+    evaluated on the distribution it was trained against."""
+    return load_dataset(
         cfg["dataset"]["name"], cfg.get("data_root", "data"),
         seed=int(cfg.get("seed", 0)),
         synthetic_size=int(cfg.get("synthetic_size", 4096)),
         synthetic_hardness=float(cfg.get("synthetic_hardness", 0.0)),
     )
+
+
+def build_trainer(cfg: dict, run_dir: Optional[str] = None) -> LyapunovTrainer:
+    m = cfg["module"]
+    ds = _load_cfg_dataset(cfg)
     model = build_model(cfg)
     sampler_nodes = _ordered_callbacks(cfg, "_sampler_callback_dict")
     sampler_names = tuple(n["target"] for n in sampler_nodes) or (
@@ -219,7 +226,7 @@ def run_certify(cfg: dict, method: str = "crown", run_dir: str = ".",
 
     model = build_model(cfg)
     params = _restore_params(cfg, model, run_dir)
-    ds = load_dataset(cfg["dataset"]["name"], cfg.get("data_root", "data"))
+    ds = _load_cfg_dataset(cfg)
     start, end = int(cfg.get("start_ind", 0)), int(cfg.get("end_ind", -1))
     if end == -1:
         end = len(ds.test_x)
@@ -258,7 +265,7 @@ def run_autoattack(cfg: dict, run_dir: str = ".", max_images=None,
 
     model = build_model(cfg)
     params = _restore_params(cfg, model, run_dir)
-    ds = load_dataset(cfg["dataset"]["name"], cfg.get("data_root", "data"))
+    ds = _load_cfg_dataset(cfg)
     bs = int(cfg.get("val_batch_size", 512))
     xs, ys = ds.test_x, ds.test_y
     if max_images:

@@ -173,6 +173,30 @@ def test_synthetic_hardness_zero_is_unchanged():
         np.testing.assert_array_equal(x, y)
 
 
+def test_eval_entry_points_honor_dataset_knobs():
+    """certify/attack must evaluate on the distribution the model was
+    trained against: _load_cfg_dataset threads seed/size/hardness from the
+    config exactly like build_trainer does."""
+    from fiode_tpu.experiment import _load_cfg_dataset
+
+    cfg = {
+        "dataset": {"name": "CIFAR10"},
+        "seed": 3,
+        "synthetic_size": 64,
+        "synthetic_hardness": 0.5,
+    }
+    ds = _load_cfg_dataset(cfg)
+    assert ds.synthetic
+    # the synthetic generator itself is pinned to seed 0 (the dataset is a
+    # fixed artifact; cfg seed varies training only, like the reference's
+    # fixed CIFAR files + seed_everything)
+    tx, _, sx, _ = _synthetic("CIFAR10", n_train=64, n_test=64, hardness=0.5)
+    np.testing.assert_array_equal(ds.test_x, sx)
+    np.testing.assert_array_equal(ds.train_x, tx)
+    easy = _synthetic("CIFAR10", n_train=64, n_test=64)[2]
+    assert np.abs(ds.test_x - easy).max() > 1e-3
+
+
 def test_synthetic_hardness_shrinks_class_separation():
     def sep(hard):
         tx, ty, _, _ = _synthetic(

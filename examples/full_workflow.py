@@ -22,6 +22,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--run-dir", default="run_data/workflow_demo")
+    ap.add_argument("--config-name", default="cifar_train.yaml",
+                    help="training config under configs/classification "
+                    "(cifar_train.yaml or mnist_train.yaml)")
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--h-sample", type=int, default=64,
                     help="Lyapunov h samples per image; 256 = full protocol "
@@ -58,7 +61,7 @@ def main():
 
     # ---- 1. train (reference README.md:27 protocol, shortened) -------------
     cfg = compose(
-        "cifar_train.yaml",
+        args.config_name,
         [
             "++batch_size=128",
             f"++module.h_sample_size={args.h_sample}",

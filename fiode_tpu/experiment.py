@@ -232,12 +232,17 @@ def run_certify(cfg: dict, method: str = "crown", run_dir: str = ".",
         end = len(ds.test_x)
     if max_images:
         end = min(end, start + max_images)
+    # only pass matmul_precision when the config sets it — the Certifier's
+    # signature default is the single source of truth for the shipping
+    # precision (bench_certify introspects the same signature)
+    prec = ({"matmul_precision": str(cfg["matmul_precision"])}
+            if "matmul_precision" in cfg else {})
     cert = Certifier(
         model, params, T=int(cfg.get("T", 40)),
         eps_input=float(cfg.get("eps", 36 / 255)),
         scale_nominal=bool(cfg["module"]["dynamics"]["scale_nominal"]),
         grid=grid,
-        matmul_precision=str(cfg.get("matmul_precision", "float32")),
+        **prec,
     )
     if image_batch:
         # protocol-style streamed sweep (certify_crown.py:122,161-172)

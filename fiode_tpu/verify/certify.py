@@ -43,7 +43,10 @@ def summarize_stream(jsonl_path, out_path=None):
     Each JSON line carries segment-cumulative ``clean``/``certified``/``n``/
     ``cells_checked``/``seconds`` counters plus the absolute
     ``batch_certified_idx`` for that batch; a new segment starts whenever the
-    cumulative ``n`` does not grow (a resumed run restarts its counters).
+    cumulative ``n`` does not continue from the previous record (within a
+    segment every record grows ``n`` by exactly its own batch size, so a
+    resumed run — whose counters restart at its first batch size — is
+    detected even when its batch is larger than the prior segment's total).
     Totals are the sum of each segment's final counters; certified indices
     are the de-duplicated union across all batches.  This makes the
     resume-friendly audit log (certify_crown.py:161-172 streams the same
@@ -62,12 +65,18 @@ def summarize_stream(jsonl_path, out_path=None):
 
     segments = []  # list of final-record per segment
     certified_idx = set()
+    larger_T_idx = set()
+    has_larger_T = False
     covered = set()
     last = None
     for rec in records:
-        if last is not None and rec["n"] <= last["n"]:
+        batch_n = rec["idx_to"] - rec["idx_from"] + 1
+        if last is not None and rec["n"] != last["n"] + batch_n:
             segments.append(last)
         certified_idx.update(rec["batch_certified_idx"])
+        if "batch_larger_T_idx" in rec:
+            has_larger_T = True
+            larger_T_idx.update(rec["batch_larger_T_idx"])
         covered.update(range(rec["idx_from"], rec["idx_to"] + 1))
         last = rec
     segments.append(last)
@@ -86,9 +95,13 @@ def summarize_stream(jsonl_path, out_path=None):
         "index_min": min(covered),
         "index_max": max(covered),
         "segments": len(segments),
-        "matmul_precision": sorted({
-            s.get("matmul_precision", "?") for s in segments
-        }),
+        # scalar when all segments agree (the per-run summary shape);
+        # a sorted list only for genuinely mixed-precision logs
+        "matmul_precision": (
+            precs[0] if len(precs := sorted({
+                s.get("matmul_precision", "?") for s in segments
+            })) == 1 else precs
+        ),
         "clean": clean,
         "certified": len(certified_idx),
         "clean_acc": clean / n_images,
@@ -98,6 +111,10 @@ def summarize_stream(jsonl_path, out_path=None):
         "seconds": secs,
         "cells_per_sec": cells / max(secs, 1e-9),
     }
+    if has_larger_T:
+        summary["larger_T_certified"] = len(larger_T_idx)
+        summary["larger_T_certified_acc"] = len(larger_T_idx) / n_images
+        summary["larger_T_certified_idx"] = sorted(larger_T_idx)
     if out_path:
         with open(out_path, "w") as fh:
             json.dump(summary, fh, indent=2)
@@ -157,10 +174,11 @@ class Certifier:
         #             piecewise-constant, so gradients are noisy and each
         #             iter costs ~2x the full chain);
         #   "width" — total MLP bound width sum(ub - lb) per cell, a smooth
-        #             surrogate: the QP corner construction is monotone in
-        #             the [lb, ub] enclosure, so tighter MLP boxes can only
-        #             tighten the projected bounds.  Much cheaper gradient
-        #             (no QP in the differentiated graph).
+        #             surrogate with a much cheaper gradient (no QP in the
+        #             differentiated graph).  Sum-width minimization does
+        #             NOT imply elementwise containment, so the best
+        #             iterate is selected by the certified quantity
+        #             (select_fn) — never worse than plain CROWN.
         # Soundness is unaffected either way (every alpha in [0,1] is sound).
         self.alpha_iters = int(alpha_iters)
         if alpha_objective not in ("vdot", "width"):
@@ -246,12 +264,20 @@ class Certifier:
                 # tighten the ReLU lower slopes (sound for every iterate);
                 # objective per self.alpha_objective (see __init__)
                 if self.alpha_objective == "width":
+                    # gradient from the smooth width surrogate, but the
+                    # per-cell best iterate is SELECTED by the certified
+                    # quantity itself: sum-width minimization does not
+                    # imply elementwise [lb,ub] containment, so without
+                    # this the width objective could lose a certificate
+                    # plain CROWN (iterate 0) had
                     alpha_loss = lambda lb, ub: jnp.sum(ub - lb, axis=-1)
+                    alpha_select = post
                 else:
                     alpha_loss = post
+                    alpha_select = None
                 alphas = optimize_crown_alphas(
                     Ws, bs, eta_l, eps, x_rows, loss_fn=alpha_loss,
-                    iters=self.alpha_iters,
+                    iters=self.alpha_iters, select_fn=alpha_select,
                 )
             lb, ub = crown_mlp_bounds(Ws, bs, eta_l, eps, x_rows, alphas)
             vdot = post(lb, ub)
@@ -508,7 +534,7 @@ class Certifier:
                 )
                 print(msg, flush=True)
                 if log_fh:
-                    log_fh.write(json.dumps({
+                    line = {
                         "idx_from": start_ind + sl.start,
                         "idx_to": start_ind + done - 1,
                         "clean": int(clean[:done].sum()),
@@ -521,7 +547,17 @@ class Certifier:
                         "cells_checked": cells_checked,
                         "seconds": el,
                         "matmul_precision": self.matmul_precision,
-                    }) + "\n")
+                    }
+                    if method == "lipschitz":
+                        # the larger-T verdicts are part of the headline
+                        # lipschitz result — without them in the audit log
+                        # a killed sweep's completed batches would lose
+                        # their exact-grid certificates on resume
+                        line["batch_larger_T_idx"] = (
+                            start_ind + sl.start
+                            + np.nonzero(np.asarray(r.larger_T_certified))[0]
+                        ).tolist()
+                    log_fh.write(json.dumps(line) + "\n")
                     log_fh.flush()
         finally:
             if log_fh:
@@ -552,6 +588,11 @@ class Certifier:
                 "cells_per_sec": res.cells_per_sec,
                 "seconds": res.seconds,
             }
+            if method == "lipschitz":
+                summary["larger_T_certified_acc"] = float(larger_T.mean())
+                summary["larger_T_certified_idx"] = (
+                    start_ind + np.nonzero(larger_T)[0]
+                ).tolist()
             with open(str(out_path) + ".json", "w") as fh:
                 json.dump(summary, fh, indent=2)
         return res

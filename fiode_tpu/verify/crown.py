@@ -216,6 +216,7 @@ def optimize_crown_alphas(
     loss_fn: Callable,
     iters: int = 8,
     lr: float = 0.25,
+    select_fn: Optional[Callable] = None,
 ):
     """Projected-gradient alpha-CROWN: pick lower slopes that minimize
     ``loss_fn(lb, ub) -> (N,)`` per cell.
@@ -226,6 +227,16 @@ def optimize_crown_alphas(
     every iterate (see crown_mlp_bounds), so no certification logic
     changes.  Returns the optimized ``alphas`` list; pass it back into
     ``crown_mlp_bounds``.
+
+    ``select_fn(lb, ub) -> (N,)``, when given, scores iterates for the
+    per-cell best-tracking while ``loss_fn`` still drives the gradient.
+    Use it when the gradient objective is a surrogate (e.g. bound width):
+    minimizing a per-cell width SUM does not imply elementwise [lb, ub]
+    containment, so a width-optimal iterate may be worse under the real
+    certified quantity — scoring selection by the real quantity keeps the
+    result never worse than the heuristic start (iterate 0) under the
+    metric that matters, at one cheap forward evaluation per iterate (no
+    extra term in the differentiated graph).
     """
     if x_bias.ndim == 1:
         x_bias = jnp.broadcast_to(x_bias, (eta0.shape[0], x_bias.shape[0]))
@@ -243,13 +254,19 @@ def optimize_crown_alphas(
         lb, ub = crown_mlp_bounds(Ws, bs, eta0, eps, x_bias, alphas)
         return loss_fn(lb, ub)  # (N,)
 
+    def per_cell_score(alphas):
+        if select_fn is None:
+            return per_cell_loss(alphas)
+        lb, ub = crown_mlp_bounds(Ws, bs, eta0, eps, x_bias, alphas)
+        return select_fn(lb, ub)  # (N,)
+
     grad_fn = jax.grad(lambda a: jnp.sum(per_cell_loss(a)))
 
     # track the best iterate PER CELL so the result is never worse than
     # the heuristic start (signed GD on a nonconvex objective can
     # overshoot; every iterate is sound, so keeping the best is free)
     best = list(alphas0)
-    best_loss = per_cell_loss(alphas0)
+    best_loss = per_cell_score(alphas0)
     alphas = alphas0
     for i in range(iters):  # unrolled under jit; iters is small and static
         g = grad_fn(alphas)
@@ -258,7 +275,7 @@ def optimize_crown_alphas(
             jnp.clip(a - step * jnp.sign(gi), 0.0, 1.0)
             for a, gi in zip(alphas, g)
         ]
-        cur = per_cell_loss(alphas)
+        cur = per_cell_score(alphas)
         better = cur < best_loss
         best = [
             jnp.where(better[:, None], a, b) for a, b in zip(alphas, best)

@@ -361,8 +361,9 @@ class TestCertifierEndToEnd:
             "width-objective alpha-CROWN certified an image with exact "
             "grid violations"
         )
-        # width-optimized slopes tighten the MLP box; the QP corner map is
-        # monotone in the enclosure, so certificates can only be gained
+        # the width surrogate drives the gradient but iterates are
+        # SELECTED by the certified quantity (plain CROWN is iterate 0),
+        # so certificates can only be gained, never lost
         assert (~res_p.certified | res_w.certified).all()
 
     def test_certify_stream_matches_batch_and_logs(self, tmp_path):
@@ -425,6 +426,63 @@ class TestCertifierEndToEnd:
         ]) + "\n")
         with pytest.raises(ValueError):
             summarize_stream(str(out2))
+
+    def test_summarize_stream_resume_with_larger_batch(self, tmp_path):
+        # regression: the old boundary rule (n <= last n) missed a resumed
+        # segment whose first cumulative n exceeds the prior segment's
+        # total, silently merging counters and then rejecting a valid log
+        import json
+
+        from fiode_tpu.verify.certify import summarize_stream
+
+        def rec(i0, i1, clean, cert, n, idx, cells, secs):
+            return {"idx_from": i0, "idx_to": i1, "clean": clean,
+                    "certified": cert, "n": n, "batch_certified_idx": idx,
+                    "cells_checked": cells, "seconds": secs,
+                    "matmul_precision": "float32"}
+
+        out = tmp_path / "s.jsonl"
+        out.write_text("\n".join(json.dumps(r) for r in [
+            # segment 1: one batch of 2 (killed after)
+            rec(0, 1, 2, 1, 2, [0], 100, 1.0),
+            # segment 2 (resume from idx 2) with batch size 4 > 2
+            rec(2, 5, 3, 2, 4, [2, 4], 200, 2.0),
+            rec(6, 7, 5, 3, 6, [7], 300, 3.0),
+        ]) + "\n")
+        s = summarize_stream(str(out))
+        assert s["segments"] == 2
+        assert s["n_images"] == 8 and s["clean"] == 7
+        assert s["certified_idx"] == [0, 2, 4, 7]
+        assert s["cells_checked"] == 400 and s["seconds"] == 4.0
+        # single-precision logs summarize to the per-run scalar shape
+        assert s["matmul_precision"] == "float32"
+
+    def test_certify_stream_lipschitz_logs_larger_T(self, tmp_path):
+        # the audit log must carry the larger-T verdicts (headline
+        # lipschitz metric) so a killed sweep's batches are recoverable
+        import json
+
+        from fiode_tpu.verify.certify import summarize_stream
+
+        model, params, x = self._make(tmp_path)
+        y = np.asarray([0, 1, 2, 0, 1, 2])
+        cert = Certifier(model, params, T=8, eps_input=0.1, chunk=64)
+        out = tmp_path / "lips.jsonl"
+        res = cert.certify_stream(
+            np.asarray(x), y, method="lipschitz", image_batch=2,
+            out_path=str(out), start_ind=10,
+        )
+        lines = [json.loads(l) for l in out.read_text().splitlines()]
+        assert all("batch_larger_T_idx" in l for l in lines)
+        merged = set()
+        for l in lines:
+            merged.update(l["batch_larger_T_idx"])
+        expect = set((10 + np.nonzero(res.larger_T_certified)[0]).tolist())
+        assert merged == expect
+        summary = json.loads((tmp_path / "lips.jsonl.json").read_text())
+        assert summary["larger_T_certified_idx"] == sorted(expect)
+        folded = summarize_stream(str(out))
+        assert folded["larger_T_certified_idx"] == sorted(expect)
 
     def test_empty_grid_rejected(self, tmp_path):
         model, params, x = self._make(tmp_path)

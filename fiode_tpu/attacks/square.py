@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["square_attack"]
+__all__ = ["square_attack", "make_square_segment"]
 
 
 def _margin_loss(logits, y):
@@ -39,33 +39,27 @@ def _p_schedule(i, n_iters, p_init):
     return p_init * 0.5 ** halvings.astype(jnp.float32)
 
 
-def square_attack(
-    logits_fn: Callable,
-    x: jax.Array,
-    y: jax.Array,
-    key: jax.Array,
-    *,
-    eps: float,
-    norm: str = "L2",
-    n_queries: int = 5000,
-    p_init: float = 0.8,
-):
-    """Returns (x_adv, success_mask)."""
-    B, C, H, W = x.shape
-
-    def init_linf(key):
-        # vertical stripes init (paper): per-column random sign
-        s = jax.random.choice(key, jnp.asarray([-eps, eps]), (B, C, 1, W))
-        return jnp.clip(x + jnp.broadcast_to(s, x.shape), 0, 1)
-
-    def init_l2(key):
-        d = jax.random.normal(key, x.shape)
-        nrm = jnp.linalg.norm(d.reshape(B, -1), axis=-1).reshape(B, 1, 1, 1)
-        return jnp.clip(x + d / jnp.maximum(nrm, 1e-12) * eps, 0, 1)
-
+def _square_init(logits_fn, x, y, key, *, eps, norm):
+    """Random init (stripes for Linf, eps-sphere gaussian for L2) and its
+    margin loss."""
+    B = x.shape[0]
     key, k0 = jax.random.split(key)
-    xa = init_linf(k0) if norm == "Linf" else init_l2(k0)
-    loss = _margin_loss(logits_fn(xa), y)
+    if norm == "Linf":
+        # vertical stripes init (paper): per-column random sign
+        s = jax.random.choice(
+            k0, jnp.asarray([-eps, eps]), (B, x.shape[1], 1, x.shape[3])
+        )
+        xa = jnp.clip(x + jnp.broadcast_to(s, x.shape), 0, 1)
+    else:
+        d = jax.random.normal(k0, x.shape)
+        nrm = jnp.linalg.norm(d.reshape(B, -1), axis=-1).reshape(B, 1, 1, 1)
+        xa = jnp.clip(x + d / jnp.maximum(nrm, 1e-12) * eps, 0, 1)
+    return xa, _margin_loss(logits_fn(xa), y), key
+
+
+def _square_body(logits_fn, x, y, *, eps, norm, n_queries, p_init):
+    """One random-search query step (i = absolute query index)."""
+    B, C, H, W = x.shape
 
     def body(i, carry):
         xa, loss, key = carry
@@ -106,6 +100,68 @@ def square_attack(
         loss = jnp.minimum(loss, cand_loss)
         return xa, loss, key
 
+    return body
+
+
+def make_square_segment(
+    logits_fn: Callable,
+    *,
+    eps: float,
+    norm: str = "L2",
+    n_queries: int = 5000,
+    p_init: float = 0.8,
+    segment: int = 500,
+):
+    """Host-chunked square attack: (init_fn, seg_fn) to be jitted once and
+    invoked ``ceil(n_queries/segment)`` times.
+
+    One device program per ~500 queries instead of a single
+    n_queries-iteration ``fori_loop``: each query is a full ODE solve, and
+    a single multi-thousand-query execution exceeds what a relay-attached
+    TPU will run in one call (observed: 5000-query programs kill the
+    worker; 1000 ran fine).  ``seg_fn(x, y, xa, loss, key, i0)`` resumes
+    from absolute query index ``i0`` so the side-length schedule
+    (fractions of n_queries) is unchanged; chaining segments is
+    bit-identical to the single-program path because the carry
+    (xa, loss, key) is exactly the fori_loop carry.
+    """
+
+    def init_fn(x, y, key):
+        return _square_init(logits_fn, x, y, key, eps=eps, norm=norm)
+
+    def seg_fn(x, y, xa, loss, key, i0):
+        body = _square_body(
+            logits_fn, x, y, eps=eps, norm=norm, n_queries=n_queries,
+            p_init=p_init,
+        )
+        xa, loss, key = jax.lax.fori_loop(
+            0, segment,
+            lambda j, c: body(i0 + j, c),
+            (xa, loss, key),
+        )
+        return xa, loss, key
+
+    return init_fn, seg_fn
+
+
+def square_attack(
+    logits_fn: Callable,
+    x: jax.Array,
+    y: jax.Array,
+    key: jax.Array,
+    *,
+    eps: float,
+    norm: str = "L2",
+    n_queries: int = 5000,
+    p_init: float = 0.8,
+):
+    """Returns (x_adv, success_mask) — single-program path (jit the whole
+    call).  For relay-attached TPUs prefer make_square_segment."""
+    xa, loss, key = _square_init(logits_fn, x, y, key, eps=eps, norm=norm)
+    body = _square_body(
+        logits_fn, x, y, eps=eps, norm=norm, n_queries=n_queries,
+        p_init=p_init,
+    )
     xa, loss, _ = jax.lax.fori_loop(0, n_queries, body, (xa, loss, key))
     success = loss < 0
     # keep original where the random init already broke the box constraint

@@ -111,6 +111,36 @@ class TestSquareFab:
         assert np.abs(np.asarray(xa - x)).max() <= 0.2 + 1e-5
         assert float(jnp.mean(succ)) > 0.2
 
+    def test_square_segments_match_single_program(self, victim):
+        # the host-chunked segment path (used through the relay, where a
+        # single multi-thousand-query program kills the TPU worker) must be
+        # bit-identical to the single fori_loop program: the carry
+        # (xa, loss, key) IS the fori_loop carry
+        from fiode_tpu.attacks.square import make_square_segment
+
+        logits_fn, W, x, y = victim
+        k = jax.random.PRNGKey(11)
+        xa_one, succ_one = jax.jit(
+            lambda x, k: square_attack(
+                logits_fn, x, y, k, eps=0.5, norm="L2", n_queries=70
+            )
+        )(x, k)
+        init_fn, seg_fn = make_square_segment(
+            logits_fn, eps=0.5, norm="L2", n_queries=70, segment=30
+        )
+        _, rem_fn = make_square_segment(
+            logits_fn, eps=0.5, norm="L2", n_queries=70, segment=10
+        )
+        xa, loss, kk = jax.jit(init_fn)(x, y, k)
+        seg_j = jax.jit(seg_fn)
+        for s in range(2):  # 2 x 30 + 10 = 70
+            xa, loss, kk = seg_j(x, y, xa, loss, kk, s * 30)
+        xa, loss, kk = jax.jit(rem_fn)(x, y, xa, loss, kk, 60)
+        np.testing.assert_array_equal(np.asarray(xa_one), np.asarray(xa))
+        np.testing.assert_array_equal(
+            np.asarray(succ_one), np.asarray(loss < 0)
+        )
+
     def test_fab_finds_small_perturbations(self, victim):
         logits_fn, W, x, y = victim
         xa, succ = jax.jit(

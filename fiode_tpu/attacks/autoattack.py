@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from .apgd import apgd_ce, apgd_targeted
 from .fab import fab_targeted
-from .square import make_square_segment
+from .square import square_attack_chunked
 
 __all__ = ["AutoAttackSuite"]
 
@@ -67,36 +67,15 @@ class AutoAttackSuite:
                     n_iter=self.n_iter,
                 )
             elif name == "square":
-                # host-chunked: ~500-query jitted segments chained from the
-                # host instead of one n_queries-long device loop — a single
-                # multi-thousand-query execution (each query = one ODE
-                # solve) exceeds what the relay-attached TPU will run in
-                # one call (observed worker crash at 5000); the chained
-                # carry makes this bit-identical to the single program
-                seg = min(500, self.square_queries)
-                init_fn, seg_fn = make_square_segment(
+                # host-chunked ~500-query jitted segments instead of one
+                # n_queries-long device loop — a single multi-thousand-query
+                # execution (each query = one ODE solve) exceeds what the
+                # relay-attached TPU will run in one call (observed worker
+                # crash at 5000); bit-identical to the single program
+                fn = square_attack_chunked(
                     self.logits_fn, eps=self.eps, norm=self.norm,
-                    n_queries=self.square_queries, segment=seg,
+                    n_queries=self.square_queries,
                 )
-                init_j = jax.jit(init_fn)
-                seg_j = jax.jit(seg_fn)
-                n_full, rem = divmod(self.square_queries, seg)
-                rem_j = None
-                if rem:
-                    _, rem_fn = make_square_segment(
-                        self.logits_fn, eps=self.eps, norm=self.norm,
-                        n_queries=self.square_queries, segment=rem,
-                    )
-                    rem_j = jax.jit(rem_fn)
-
-                def fn(x, y, k):
-                    xa, loss, k = init_j(x, y, k)
-                    for s in range(n_full):
-                        xa, loss, k = seg_j(x, y, xa, loss, k, s * seg)
-                    if rem_j is not None:
-                        xa, loss, k = rem_j(x, y, xa, loss, k, n_full * seg)
-                    return xa, loss < 0
-
                 self._compiled[name] = fn
                 return fn
             else:

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["square_attack", "make_square_segment"]
+__all__ = ["square_attack", "square_attack_chunked", "make_square_segment"]
 
 
 def _margin_loss(logits, y):
@@ -163,6 +163,46 @@ def square_attack(
         p_init=p_init,
     )
     xa, loss, _ = jax.lax.fori_loop(0, n_queries, body, (xa, loss, key))
-    success = loss < 0
-    # keep original where the random init already broke the box constraint
-    return xa, success
+    return xa, loss < 0
+
+
+def square_attack_chunked(
+    logits_fn: Callable,
+    *,
+    eps: float,
+    norm: str = "L2",
+    n_queries: int = 5000,
+    p_init: float = 0.8,
+    segment: int = 500,
+):
+    """Relay-safe square attack: returns ``fn(x, y, key) -> (xa, success)``
+    that chains jitted ~``segment``-query programs from the host, covering
+    absolute query indices 0..n_queries-1 exactly — bit-identical to
+    ``square_attack`` (the chained carry IS the fori_loop carry).  The
+    compiled init/segment programs are built once per returned ``fn`` and
+    reused across batches of the same shape."""
+    seg = min(segment, n_queries)
+    init_fn, seg_fn = make_square_segment(
+        logits_fn, eps=eps, norm=norm, n_queries=n_queries, p_init=p_init,
+        segment=max(seg, 1),
+    )
+    init_j = jax.jit(init_fn)
+    seg_j = jax.jit(seg_fn)
+    n_full, rem = divmod(n_queries, seg) if seg > 0 else (0, 0)
+    rem_j = None
+    if rem:
+        _, rem_fn = make_square_segment(
+            logits_fn, eps=eps, norm=norm, n_queries=n_queries,
+            p_init=p_init, segment=rem,
+        )
+        rem_j = jax.jit(rem_fn)
+
+    def fn(x, y, key):
+        xa, loss, key = init_j(x, y, key)  # n_queries=0: init only,
+        for s in range(n_full):            # matching fori_loop(0, 0, ...)
+            xa, loss, key = seg_j(x, y, xa, loss, key, s * seg)
+        if rem_j is not None:
+            xa, loss, key = rem_j(x, y, xa, loss, key, n_full * seg)
+        return xa, loss < 0
+
+    return fn

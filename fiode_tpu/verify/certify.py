@@ -66,7 +66,7 @@ def summarize_stream(jsonl_path, out_path=None):
     segments = []  # list of final-record per segment
     certified_idx = set()
     larger_T_idx = set()
-    has_larger_T = False
+    n_with_larger_T = 0
     covered = set()
     last = None
     for rec in records:
@@ -75,11 +75,20 @@ def summarize_stream(jsonl_path, out_path=None):
             segments.append(last)
         certified_idx.update(rec["batch_certified_idx"])
         if "batch_larger_T_idx" in rec:
-            has_larger_T = True
+            n_with_larger_T += 1
             larger_T_idx.update(rec["batch_larger_T_idx"])
         covered.update(range(rec["idx_from"], rec["idx_to"] + 1))
         last = rec
     segments.append(last)
+    has_larger_T = n_with_larger_T == len(records)
+    if 0 < n_with_larger_T < len(records):
+        # a lipschitz log whose older segments predate the larger-T audit
+        # field: folding would silently understate the exact-grid rate
+        raise ValueError(
+            f"{jsonl_path}: {n_with_larger_T}/{len(records)} records carry "
+            "batch_larger_T_idx — mixed-generation log; re-run the old "
+            "segments (or strip the field) before summarizing"
+        )
 
     n_images = len(covered)
     if sum(s["n"] for s in segments) != n_images:

@@ -116,7 +116,7 @@ class TestSquareFab:
         # single multi-thousand-query program kills the TPU worker) must be
         # bit-identical to the single fori_loop program: the carry
         # (xa, loss, key) IS the fori_loop carry
-        from fiode_tpu.attacks.square import make_square_segment
+        from fiode_tpu.attacks.square import square_attack_chunked
 
         logits_fn, W, x, y = victim
         k = jax.random.PRNGKey(11)
@@ -125,21 +125,18 @@ class TestSquareFab:
                 logits_fn, x, y, k, eps=0.5, norm="L2", n_queries=70
             )
         )(x, k)
-        init_fn, seg_fn = make_square_segment(
+        # segment=30 forces 2 full segments + a 10-query remainder program
+        chunked = square_attack_chunked(
             logits_fn, eps=0.5, norm="L2", n_queries=70, segment=30
         )
-        _, rem_fn = make_square_segment(
-            logits_fn, eps=0.5, norm="L2", n_queries=70, segment=10
-        )
-        xa, loss, kk = jax.jit(init_fn)(x, y, k)
-        seg_j = jax.jit(seg_fn)
-        for s in range(2):  # 2 x 30 + 10 = 70
-            xa, loss, kk = seg_j(x, y, xa, loss, kk, s * 30)
-        xa, loss, kk = jax.jit(rem_fn)(x, y, xa, loss, kk, 60)
+        xa, succ = chunked(x, y, k)
         np.testing.assert_array_equal(np.asarray(xa_one), np.asarray(xa))
-        np.testing.assert_array_equal(
-            np.asarray(succ_one), np.asarray(loss < 0)
-        )
+        np.testing.assert_array_equal(np.asarray(succ_one), np.asarray(succ))
+        # n_queries=0 degenerates to the random init (fori_loop(0,0) parity)
+        xa0, succ0 = square_attack_chunked(
+            logits_fn, eps=0.5, norm="L2", n_queries=0
+        )(x, y, k)
+        assert xa0.shape == x.shape and succ0.shape == y.shape
 
     def test_fab_finds_small_perturbations(self, victim):
         logits_fn, W, x, y = victim

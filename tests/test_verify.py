@@ -483,6 +483,13 @@ class TestCertifierEndToEnd:
         assert summary["larger_T_certified_idx"] == sorted(expect)
         folded = summarize_stream(str(out))
         assert folded["larger_T_certified_idx"] == sorted(expect)
+        # mixed-generation logs (some records missing the field) must be
+        # rejected, not silently understated
+        lines[0].pop("batch_larger_T_idx")
+        mixed = tmp_path / "mixed.jsonl"
+        mixed.write_text("\n".join(json.dumps(l) for l in lines) + "\n")
+        with pytest.raises(ValueError, match="mixed-generation"):
+            summarize_stream(str(mixed))
 
     def test_empty_grid_rejected(self, tmp_path):
         model, params, x = self._make(tmp_path)

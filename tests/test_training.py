@@ -139,3 +139,36 @@ class TestTrainer:
     def test_adv_train_step_runs(self, tmp_path):
         tr = make_trainer(tmp_path, adv_train=True, val_adv=True)
         tr.fit(epochs=1)
+
+    def test_simplex_plots_written_for_3class(self, tmp_path):
+        """3-class runs write per-epoch simplex sample/trajectory figures
+        (reference pl_modules.py:508-523, utils.py:30-140)."""
+        ds = load_dataset(
+            "CIFAR3", data_root=str(tmp_path / "nope"), synthetic_size=128
+        )
+        assert ds.synthetic
+        dyn = SimplexDynamics(
+            n_hidden=3, mlp_size=16, x_dim=3, dropout=0.0,
+            alpha_1=100.0, alpha_2=20.0, sigma_1=0.02, kappa=2.0,
+            kappa_length=0, cayley=True, scale_nominal=True,
+        )
+        model = NeuralODEClassifier(
+            backbone=TinyMLPBackbone(out_dim=3, hidden=16,
+                                     mu=(0.5, 0.5, 0.5), std=(0.25,) * 3),
+            dynamics=dyn, n_classes=3, t_max=1.0,
+        )
+        sch = CompositeSamplerScheduler(
+            [ConstantScheduler(1.0), ConstantScheduler(1.0)], [1.0, 1.0]
+        )
+        cfg = TrainConfig(
+            batch_size=32, val_batch_size=64, h_sample_size=8,
+            max_epochs=1, lr=5e-3, log_every=1, augment=False,
+        )
+        tr = LyapunovTrainer(
+            model, cfg, ds, scheduler=sch, run_dir=str(tmp_path / "run")
+        )
+        tr.fit(epochs=1)
+        plots = tmp_path / "run" / "plots"
+        names = sorted(p.name for p in plots.glob("*.png"))
+        assert any(n.startswith("samples_e") for n in names), names
+        assert any(n.startswith("traj_e") for n in names), names

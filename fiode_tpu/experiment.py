@@ -162,6 +162,7 @@ def build_trainer(cfg: dict, run_dir: Optional[str] = None) -> LyapunovTrainer:
         val_adv=bool(m.get("val_adv", False)),
         eps=float(m.get("eps", 36 / 255)), norm=m.get("norm", "L2"),
         seed=int(cfg.get("seed", 0)),
+        steps_per_call=int(m.get("steps_per_call", 1)),
     )
     if run_dir is None:
         stamp = time.strftime("%Y%m%d-%H%M%S")

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from ..ops.cayley import cayley, groupsort2
 from ..ops.simplex_qp import simplex_cone_project
+from ..utils.debug import env_flag
 from .layers import CayleyLinear, LipsLinear
 
 __all__ = ["SimplexDynamics", "barrier_bounds", "densify_dynamics_params"]
@@ -88,7 +89,13 @@ class SimplexDynamics(nn.Module):
         sn = self.scale_nominal if scale_nominal is None else scale_nominal
         if sn:
             f_tilde = (upper - lower) * jax.nn.sigmoid(f_tilde) + lower
-        return simplex_cone_project(lower, f_tilde, self.qp_iters)
+        # FIODE_QP_UNROLL=1 flattens the 30-iteration bisection into the
+        # surrounding graph (one fused elementwise kernel instead of a
+        # rolled loop per RHS eval) — measured per-workload before enabling;
+        # see ops/simplex_qp._bisect_mu.
+        return simplex_cone_project(
+            lower, f_tilde, self.qp_iters, env_flag("FIODE_QP_UNROLL")
+        )
 
     def __call__(self, h, x, *, train: bool = False, scale_nominal=None):
         return self.eval_dot(h, x, train=train, scale_nominal=scale_nominal)

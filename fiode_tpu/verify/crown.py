@@ -237,6 +237,16 @@ def optimize_crown_alphas(
     result never worse than the heuristic start (iterate 0) under the
     metric that matters, at one cheap forward evaluation per iterate (no
     extra term in the differentiated graph).
+
+    Gradient path through the QP: when ``loss_fn`` composes these bounds
+    with the barrier projection (verify/ibp_qp.py), gradients do NOT
+    differentiate the bisection iterations — ``simplex_{cone,box}_project``
+    carry closed-form active-set custom VJPs (ops/simplex_qp.py), which
+    are exactly the KKT implicit-function derivative of the projection.
+    Each alpha iteration therefore pays the bisection only as a forward
+    evaluation; the backward is O(n) per row.  The projection is
+    piecewise-linear in its inputs, so these gradients are exact on each
+    active-set piece (zero curvature, not zero gradient).
     """
     if x_bias.ndim == 1:
         x_bias = jnp.broadcast_to(x_bias, (eta0.shape[0], x_bias.shape[0]))

@@ -57,7 +57,11 @@ def main():
     if os.environ.get("FIODE_BENCH_CHILD"):
         return _bench()
     env = dict(os.environ, FIODE_BENCH_CHILD="1")
-    for attempt in range(3):
+    for attempt in range(4):
+        if attempt:
+            # Relay outages come in multi-minute windows; spacing the retries
+            # bridges a window instead of burning all attempts inside one.
+            time.sleep(90)
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],

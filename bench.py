@@ -46,38 +46,10 @@ MAX_STEPS = 16  # bounded-scan step budget (solves need ~6 at tol 1e-3)
 
 
 def main():
-    """Stall-resilient driver: the axon relay sporadically stalls a client
-    for minutes (CLAUDE.md).  Run the actual benchmark in a child process
-    with a timeout and retry on a fresh TPU client if it wedges; the child
-    prints the single JSON line, the parent relays it verbatim."""
-    import os
-    import subprocess
-    import sys
+    """Stall-resilient driver (shared scheme, see _bench_common.py)."""
+    from _bench_common import stall_resilient_main
 
-    if os.environ.get("FIODE_BENCH_CHILD"):
-        return _bench()
-    env = dict(os.environ, FIODE_BENCH_CHILD="1")
-    for attempt in range(4):
-        if attempt:
-            # Relay outages come in multi-minute windows; spacing the retries
-            # bridges a window instead of burning all attempts inside one.
-            time.sleep(90)
-        try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, timeout=480,
-            )
-        except subprocess.TimeoutExpired:
-            print(f"[bench] attempt {attempt + 1} stalled; retrying",
-                  file=sys.stderr, flush=True)
-            continue
-        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
-        if out.returncode == 0 and lines:
-            print(lines[-1])
-            return
-        print(f"[bench] attempt {attempt + 1} failed rc={out.returncode}:\n"
-              f"{out.stderr[-2000:]}", file=sys.stderr, flush=True)
-    raise SystemExit("bench failed after 3 attempts")
+    stall_resilient_main(_bench, "bench")
 
 
 def _bench():

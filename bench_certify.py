@@ -46,37 +46,13 @@ def _default_precision() -> str:
 
 
 def main():
-    """Stall-resilient driver (same scheme as bench.py): the axon relay
-    sporadically stalls a client for minutes; run the sweep in a child
-    process with a timeout, retrying on a fresh TPU client, with the
-    retries spaced out to bridge a multi-minute outage window."""
-    import os
-    import subprocess
-    import sys
+    """Stall-resilient driver (shared scheme, see _bench_common.py)."""
+    from _bench_common import stall_resilient_main
 
-    if not os.environ.get("FIODE_BENCH_CHILD"):
-        env = dict(os.environ, FIODE_BENCH_CHILD="1")
-        for attempt in range(4):
-            if attempt:
-                time.sleep(90)
-            try:
-                out = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__),
-                     *sys.argv[1:]],
-                    env=env, capture_output=True, text=True, timeout=480,
-                )
-            except subprocess.TimeoutExpired:
-                print(f"[bench] attempt {attempt + 1} stalled; retrying",
-                      file=sys.stderr, flush=True)
-                continue
-            lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
-            if out.returncode == 0 and lines:
-                print(lines[-1])
-                return
-            print(f"[bench] attempt {attempt + 1} failed rc={out.returncode}:"
-                  f"\n{out.stderr[-2000:]}", file=sys.stderr, flush=True)
-        raise SystemExit("bench_certify failed after 4 attempts")
+    stall_resilient_main(_bench, "bench_certify")
 
+
+def _bench():
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--precision",

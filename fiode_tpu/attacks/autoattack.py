@@ -46,10 +46,12 @@ class AutoAttackSuite:
         self._compiled = {}
 
     def _attack_fn(self, name):
-        """Each attack is ONE jitted program (cached per suite): eager op
-        dispatch around the inner loops costs ~100ms/op on relay-attached
-        TPUs and recompilation is avoided across batches of the same
-        shape."""
+        """Each attack is ONE jitted program (cached per suite) — except
+        square, which is host-chained into ~500-query jitted segments (one
+        monolithic 5000-query program exceeds the relay's per-execution
+        wall-clock budget, see square_attack_chunked).  Eager op dispatch
+        around the inner loops costs ~100ms/op on relay-attached TPUs and
+        recompilation is avoided across batches of the same shape."""
         if name not in self._compiled:
             if name == "apgd-ce":
                 fn = lambda x, y, k: apgd_ce(
@@ -71,7 +73,9 @@ class AutoAttackSuite:
                 # n_queries-long device loop — a single multi-thousand-query
                 # execution (each query = one ODE solve) exceeds what the
                 # relay-attached TPU will run in one call (observed worker
-                # crash at 5000); bit-identical to the single program
+                # crash at 5000); same queries/carry as the single program
+                # (bit-identity verified on CPU — see square_attack_chunked
+                # on TPU scheduling sensitivity)
                 fn = square_attack_chunked(
                     self.logits_fn, eps=self.eps, norm=self.norm,
                     n_queries=self.square_queries,

@@ -121,9 +121,10 @@ def make_square_segment(
     TPU will run in one call (observed: 5000-query programs kill the
     worker; 1000 ran fine).  ``seg_fn(x, y, xa, loss, key, i0)`` resumes
     from absolute query index ``i0`` so the side-length schedule
-    (fractions of n_queries) is unchanged; chaining segments is
-    bit-identical to the single-program path because the carry
-    (xa, loss, key) is exactly the fori_loop carry.
+    (fractions of n_queries) is unchanged; chaining segments carries
+    exactly the fori_loop carry (xa, loss, key), so the paths are
+    bit-identical under identical compilation (verified on CPU; see
+    square_attack_chunked for the TPU scheduling caveat).
     """
 
     def init_fn(x, y, key):
@@ -177,10 +178,20 @@ def square_attack_chunked(
 ):
     """Relay-safe square attack: returns ``fn(x, y, key) -> (xa, success)``
     that chains jitted ~``segment``-query programs from the host, covering
-    absolute query indices 0..n_queries-1 exactly — bit-identical to
-    ``square_attack`` (the chained carry IS the fori_loop carry).  The
-    compiled init/segment programs are built once per returned ``fn`` and
-    reused across batches of the same shape."""
+    absolute query indices 0..n_queries-1 exactly — the chained carry IS
+    the fori_loop carry, and tests/test_attacks.py verifies bit-identity
+    with ``square_attack`` on CPU.  On TPU each partitioning is itself
+    deterministic, but XLA may schedule ``logits_fn`` differently inside a
+    segment program than inside the monolithic one, so a 1-ulp loss
+    difference can flip an accept/reject on borderline candidates (the
+    same layout sensitivity measured for fp32 certificates, see
+    examples/README.md); the attack's query budget and distribution are
+    unchanged either way."""
+    if segment <= 0 and n_queries > 0:
+        raise ValueError(
+            f"segment must be positive (got {segment}) — a non-positive "
+            f"segment would silently run 0 of the {n_queries} queries"
+        )
     seg = min(segment, n_queries)
     init_fn, seg_fn = make_square_segment(
         logits_fn, eps=eps, norm=norm, n_queries=n_queries, p_init=p_init,

@@ -664,7 +664,10 @@ class LyapunovTrainer:
         )
         bs = self.cfg.val_batch_size
         xs, ys = self.ds.test_x, self.ds.test_y
-        n_batches = max(1, len(xs) // bs)
+        # ceil: the tail batch must be evaluated too (a shorter final batch
+        # costs one extra compile, once — dropping it silently skews the
+        # robust-accuracy denominator)
+        n_batches = max(1, -(-len(xs) // bs))
         if max_batches:
             n_batches = min(n_batches, max_batches)
         robust, clean, total = 0, 0, 0
@@ -688,7 +691,10 @@ class LyapunovTrainer:
         ys = getattr(self.ds, f"{split}_y")
         bs = self.cfg.val_batch_size
         totals, count = None, 0
-        n_batches = max(1, len(xs) // bs)
+        # ceil-divide so the tail batch is seen (floor dropped up to bs-1
+        # images from every validation pass); per-batch means are weighted
+        # by batch size so the unequal tail doesn't skew the average.
+        n_batches = max(1, -(-len(xs) // bs))
         if max_batches:
             n_batches = min(n_batches, max_batches)
         for i in range(n_batches):
@@ -696,9 +702,10 @@ class LyapunovTrainer:
             by = jnp.asarray(ys[i * bs : (i + 1) * bs])
             key, k = jax.random.split(key)
             m = self._eval_step(params, k, bx, by)
-            m = {k_: float(v) for k_, v in m.items()}
+            w = len(bx)
+            m = {k_: float(v) * w for k_, v in m.items()}
             totals = m if totals is None else {
                 k_: totals[k_] + m[k_] for k_ in m
             }
-            count += 1
+            count += w
         return {k_: v / count for k_, v in totals.items()}

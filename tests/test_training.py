@@ -140,6 +140,29 @@ class TestTrainer:
         tr = make_trainer(tmp_path, adv_train=True, val_adv=True)
         tr.fit(epochs=1)
 
+    def test_evaluate_covers_tail_batch(self, tmp_path):
+        """evaluate must see EVERY validation image: ceil-divided batches
+        with per-sample weighting (floor division silently dropped up to
+        bs-1 images — 18% of real MNIST's 10000-image val split at 4096)."""
+        import dataclasses
+
+        tr = make_trainer(tmp_path)
+        n = len(tr.ds.test_x)
+        bs = (n // 2) + 3  # guarantees an unequal tail batch
+        tr.cfg = dataclasses.replace(tr.cfg, val_batch_size=bs)
+        seen = []
+
+        def fake_eval_step(params, k, bx, by):
+            seen.append(int(bx.shape[0]))
+            return {"batch_len": jnp.float32(bx.shape[0])}
+
+        tr._eval_step = fake_eval_step
+        out = tr.evaluate(None, jax.random.PRNGKey(0), split="test")
+        assert seen == [bs, n - bs], (seen, n)
+        # weighted mean of the per-batch means, not a naive batch average
+        expected = (bs**2 + (n - bs) ** 2) / n
+        assert abs(out["batch_len"] - expected) < 1e-6
+
     def test_simplex_plots_written_for_3class(self, tmp_path):
         """3-class runs write per-epoch simplex sample/trajectory figures
         (reference pl_modules.py:508-523, utils.py:30-140)."""

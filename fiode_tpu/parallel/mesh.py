@@ -19,7 +19,9 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "data_sharding"]
+__all__ = [
+    "make_mesh", "make_mesh2d", "shard_batch", "replicate", "data_sharding",
+]
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
@@ -27,6 +29,18 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (axis,))
+
+
+def make_mesh2d(
+    n_img: int, n_cell: int, axes: tuple = ("img", "cell")
+) -> Mesh:
+    """2-D mesh for certification sweeps: the image batch shards over the
+    first axis and the grid-cell axis over the second, so a pod partitions
+    both long dimensions of the (images x cells) superchunk.  Lay the cell
+    axis innermost (fastest-varying over adjacent devices) so the per-image
+    max all-reduce rides the shortest ICI ring."""
+    devs = np.asarray(jax.devices()[: n_img * n_cell]).reshape(n_img, n_cell)
+    return Mesh(devs, axes)
 
 
 def data_sharding(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:

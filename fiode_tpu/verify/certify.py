@@ -27,6 +27,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.dynamics import densify_dynamics_params
 from .crown import crown_mlp_bounds, optimize_crown_alphas
@@ -34,6 +35,42 @@ from .grid import enumerate_decision_boundary
 from .ibp_qp import ibp_cbf_qp, ibp_sigmoid, worst_case_vdot
 
 __all__ = ["Certifier", "CertifyResult", "summarize_stream"]
+
+
+def _mesh_placers(mesh: Optional[Mesh]):
+    """Return ``(shard_img(a), shard_cell(a))`` placement functions.
+
+    ``shard_img`` shards dim 0 (the image axis) over the mesh's "img"
+    axis; ``shard_cell`` shards dim 1 of a (K, chunk, ...) cell block over
+    the "cell" axis.  A 1-D mesh of any axis name shards only cells (the
+    long axis); with no mesh both are identity.  GSPMD propagates these
+    operand placements through the jitted superchunk, so no kernel code
+    changes per layout.
+    """
+    if mesh is None:
+        ident = lambda a: a
+        return ident, ident
+    names = mesh.axis_names
+    img_ax = "img" if "img" in names else None
+    cell_ax = "cell" if "cell" in names else (
+        names[0] if len(names) == 1 else None
+    )
+
+    def put(a, dim, ax):
+        if ax is None:
+            return a
+        spec = [None] * a.ndim
+        spec[dim] = ax
+        return jax.device_put(a, NamedSharding(mesh, P(*spec)))
+
+    return (lambda a: put(a, 0, img_ax)), (lambda a: put(a, 1, cell_ax))
+
+
+def _img_axis_size(mesh: Optional[Mesh]) -> int:
+    """Number of shards the image axis splits into (1 = unsharded)."""
+    if mesh is None or "img" not in mesh.axis_names:
+        return 1
+    return mesh.shape["img"]
 
 
 def summarize_stream(jsonl_path, out_path=None):
@@ -167,9 +204,19 @@ class Certifier:
         alpha_iters: int = 0,
         alpha_objective: str = "vdot",
         matmul_precision: str = "float32",
+        mesh: Optional[Mesh] = None,
     ):
         self.model = model
         self.params = params
+        # SPMD layout of the (images x cells) superchunk. A 1-D mesh (any
+        # single axis name) shards the long cell axis — the round-2
+        # configuration, pinned all-gather-free by
+        # tests/test_parallel_certify.py. A 2-D ("img", "cell") mesh (see
+        # parallel.mesh.make_mesh2d) additionally shards the image batch,
+        # so the only cross-device communication is the per-image running
+        # max: a reduce over the cell axis, riding the innermost ICI ring.
+        self.mesh = mesh
+        self._shard_img, self._shard_cell = _mesh_placers(mesh)
         self.T = T
         self.eps = 1.0 / T  # per-cell Linf radius (certify_crown.py:59-62)
         self.chunk = chunk
@@ -423,25 +470,43 @@ class Certifier:
         clean_idx = np.nonzero(clean)[0]
         I = len(clean_idx)
         if I:
-            labs = np.asarray(labels)[clean_idx].astype(np.int32)
+            # pad the image axis to a multiple of the mesh's img-axis size
+            # (sharded dims must divide evenly); padded rows start at +inf
+            # worst so they read "already violated" everywhere and are
+            # sliced off before verdicts
+            img_shards = _img_axis_size(self.mesh)
+            Ip = -(-I // img_shards) * img_shards
+            sel = np.concatenate(
+                [clean_idx, np.repeat(clean_idx[:1], Ip - I)]
+            )
+            labs = np.asarray(labels)[sel].astype(np.int32)
             # perm per image: eta_l = eta[:, perm] swaps columns 0 <-> label
-            perms = np.tile(np.arange(self.n, dtype=np.int32), (I, 1))
-            perms[np.arange(I), 0] = labs
-            perms[np.arange(I), labs] = 0
-            labs_j = jnp.asarray(labs)
-            perms_j = jnp.asarray(perms)
-            feats_c = jnp.asarray(all_feats[clean_idx])
+            perms = np.tile(np.arange(self.n, dtype=np.int32), (Ip, 1))
+            perms[np.arange(Ip), 0] = labs
+            perms[np.arange(Ip), labs] = 0
+            labs_j = self._shard_img(jnp.asarray(labs))
+            perms_j = self._shard_img(jnp.asarray(perms))
+            feats_c = self._shard_img(jnp.asarray(all_feats[sel]))
+            pad_inf = np.concatenate(
+                [np.full(I, -np.inf, np.float32),
+                 np.full(Ip - I, np.inf, np.float32)]
+            )
             n_blocks = 0
             if method == "crown":
-                x_biases = feats_c @ jnp.asarray(self.U).T + jnp.asarray(self.bU)
-                worst = jnp.full((I,), -jnp.inf, jnp.float32)
+                x_biases = self._shard_img(
+                    feats_c @ jnp.asarray(self.U).T + jnp.asarray(self.bU)
+                )
+                worst = self._shard_img(jnp.asarray(pad_inf))
                 for etas, valids in self._iter_chunks():
                     worst = self._crown_chunk(
-                        Ws, bs, x_biases, labs_j, perms_j, etas, valids, worst
+                        Ws, bs, x_biases, labs_j, perms_j,
+                        self._shard_cell(etas), self._shard_cell(valids),
+                        worst,
                     )
                     cells_checked += int(valids.sum()) * I
                     n_blocks += 1
-                    worst_h = np.asarray(worst)  # host sync per superchunk
+                    # host sync per superchunk; padded rows sliced off
+                    worst_h = np.asarray(worst)[:I]
                     if progress_every and n_blocks % progress_every == 0:
                         el = time.time() - t0
                         print(
@@ -455,17 +520,18 @@ class Certifier:
                 certified[clean_idx] = worst_h <= 0
             elif method == "lipschitz":
                 worst = (
-                    jnp.full((I,), -jnp.inf, jnp.float32),
-                    jnp.full((I,), -jnp.inf, jnp.float32),
+                    self._shard_img(jnp.asarray(pad_inf)),
+                    self._shard_img(jnp.asarray(pad_inf)),
                 )
                 for etas, valids in self._iter_chunks():
                     worst = self._lips_chunk(
-                        self.params, feats_c, labs_j, perms_j, etas, valids,
+                        self.params, feats_c, labs_j, perms_j,
+                        self._shard_cell(etas), self._shard_cell(valids),
                         worst,
                     )
                     cells_checked += int(valids.sum()) * I
                     n_blocks += 1
-                    w_full = np.asarray(worst[0])
+                    w_full = np.asarray(worst[0])[:I]
                     if progress_every and n_blocks % progress_every == 0:
                         el = time.time() - t0
                         print(
@@ -478,10 +544,10 @@ class Certifier:
                     # its worst value is <= the full one: exit only once BOTH
                     # certificates are violated for every image, else a
                     # truncated sweep could emit an unsound larger-T result.
-                    if early_exit and (np.asarray(worst[1]) >= 0).all():
+                    if early_exit and (np.asarray(worst[1])[:I] >= 0).all():
                         break
-                certified[clean_idx] = np.asarray(worst[0]) < 0
-                larger_T_certified[clean_idx] = np.asarray(worst[1]) < 0
+                certified[clean_idx] = w_full < 0
+                larger_T_certified[clean_idx] = np.asarray(worst[1])[:I] < 0
             else:
                 raise ValueError(method)
 

@@ -5,6 +5,8 @@ Usage (hydra-compatible override spelling):
   python -m fiode_tpu sample-grid    --config-name cifar_certify ++T=40 [--out grid.pkl]
   python -m fiode_tpu certify-crown  --config-name cifar_certify --run-dir RUN [k=v ...]
   python -m fiode_tpu certify-lipschitz --config-name cifar_certify --run-dir RUN
+    (++mesh_shape=[n_img,n_cell] shards certification over a 2-D device
+     mesh; a single int shards the cell axis over a 1-D mesh)
   python -m fiode_tpu eval-autoattack   --config-name cifar_certify --run-dir RUN
   python -m fiode_tpu summarize-stream  RUN/certify_stream.jsonl [--out SUMMARY.json]
   python -m fiode_tpu segway-train   [--save PATH]

@@ -238,11 +238,23 @@ def run_certify(cfg: dict, method: str = "crown", run_dir: str = ".",
     # precision (bench_certify introspects the same signature)
     prec = ({"matmul_precision": str(cfg["matmul_precision"])}
             if "matmul_precision" in cfg else {})
+    # ++mesh_shape=[n_img,n_cell] shards the sweep over a 2-D device mesh
+    # (parallel.mesh.make_mesh2d); a single int shards cells over a 1-D
+    # mesh.  Default: whatever devices/shardings JAX picks (single chip).
+    mesh = None
+    if cfg.get("mesh_shape"):
+        from .parallel.mesh import make_mesh, make_mesh2d
+
+        ms = cfg["mesh_shape"]
+        mesh = (make_mesh2d(int(ms[0]), int(ms[1]))
+                if isinstance(ms, (list, tuple))
+                else make_mesh(int(ms), axis="cell"))
     cert = Certifier(
         model, params, T=int(cfg.get("T", 40)),
         eps_input=float(cfg.get("eps", 36 / 255)),
         scale_nominal=bool(cfg["module"]["dynamics"]["scale_nominal"]),
         grid=grid,
+        mesh=mesh,
         **prec,
     )
     if image_batch:

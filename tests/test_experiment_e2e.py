@@ -45,6 +45,12 @@ class TestExperimentE2E:
                             max_images=2)
         assert res_c.clean.shape == (2,)
 
+        # same entry point on a 2-D (img x cell) mesh: identical verdicts
+        res_m = run_certify(dict(cert_cfg, mesh_shape=[2, 4]),
+                            method="crown", run_dir=run_dir, max_images=2)
+        assert (res_m.certified == res_c.certified).all()
+        assert (res_m.clean == res_c.clean).all()
+
         # attack through the same restore path (tiny budget)
         acc = run_autoattack(
             cert_cfg, run_dir=run_dir, max_images=32,

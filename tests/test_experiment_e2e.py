@@ -51,6 +51,11 @@ class TestExperimentE2E:
         assert (res_m.certified == res_c.certified).all()
         assert (res_m.clean == res_c.clean).all()
 
+        # 1-D spelling (single int shards the cell axis only)
+        res_1d = run_certify(dict(cert_cfg, mesh_shape=8),
+                             method="crown", run_dir=run_dir, max_images=2)
+        assert (res_1d.certified == res_c.certified).all()
+
         # attack through the same restore path (tiny budget)
         acc = run_autoattack(
             cert_cfg, run_dir=run_dir, max_images=32,

@@ -49,6 +49,9 @@ def main(argv=None):
     sp.add_argument("--epochs", type=int, default=None)
     sp.add_argument("--test-adv", action="store_true",
                     help="run AutoAttack apgd-ce/apgd-t at test time")
+    sp.add_argument("--resume", action="store_true",
+                    help="continue from the run dir's resume checkpoint "
+                    "(full optimizer/PRNG state, written every eval)")
 
     sp = add("sample-grid", "certify")
     sp.add_argument("--out", default=None)
@@ -98,7 +101,7 @@ def main(argv=None):
 
         cfg = _compose(args, "train")
         run_train(cfg, run_dir=args.run_dir, epochs=args.epochs,
-                  test_adv=args.test_adv)
+                  test_adv=args.test_adv, resume=args.resume)
     elif args.cmd == "sample-grid":
         from .experiment import run_sample_grid
 

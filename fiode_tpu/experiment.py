@@ -174,9 +174,9 @@ def build_trainer(cfg: dict, run_dir: Optional[str] = None) -> LyapunovTrainer:
 
 
 def run_train(cfg: dict, run_dir: Optional[str] = None, epochs=None,
-              test_adv: bool = False):
+              test_adv: bool = False, resume: bool = False):
     tr = build_trainer(cfg, run_dir)
-    params = tr.fit(epochs=epochs)
+    params = tr.fit(epochs=epochs, resume=resume)
     # final test evaluation (reference trainer.test(ckpt='best'),
     # sl_pipeline.py:222)
     test = tr.evaluate(params, jax.random.PRNGKey(1), split="test")

@@ -467,7 +467,17 @@ class LyapunovTrainer:
             j = idx[n_full * bs :]
             yield xs[j], ys[j]
 
-    def fit(self, epochs: Optional[int] = None, eval_every: int = 1):
+    def fit(self, epochs: Optional[int] = None, eval_every: int = 1,
+            resume: bool = False):
+        """Train; ``resume=True`` continues from the run dir's 'resume'
+        checkpoint (params + optimizer state + PRNG key + step/epoch,
+        written at every eval boundary) — Lightning's
+        resume_from_checkpoint equivalent, needed here because relay
+        outages can kill multi-hour runs (CLAUDE.md).  The numpy shuffle
+        stream is fast-forwarded by the completed epoch count, so a
+        resumed run replays the exact uninterrupted batch order; only the
+        Lipschitz power-iteration state (lips_train) re-warms from init.
+        """
         cfg = self.cfg
         epochs = epochs if epochs is not None else cfg.max_epochs
         rng_np = np.random.default_rng(cfg.seed)
@@ -492,7 +502,34 @@ class LyapunovTrainer:
                 lfx_state = replicate(self.mesh, lfx_state)
 
         step = 0
-        for epoch in range(epochs):
+        start_epoch = 0
+        if resume and self.ckpt.has_resume:
+            meta = self.ckpt.resume_meta()
+            start_epoch = int(meta["epoch"]) + 1
+            # the tx active when the state was saved (end of meta["epoch"]):
+            # warmup iff that epoch was before the swap boundary
+            use_warmup = cfg.warmup > 0 and int(meta["epoch"]) < cfg.warmup
+            tx = self.warmup_tx if use_warmup else self.main_tx
+            host = lambda t: jax.tree_util.tree_map(np.asarray, t)
+            like = {
+                "params": host(params),
+                "opt_state": host(tx.init(params)),
+                "key": np.asarray(key),
+                "step": 0,
+                "epoch": 0,
+            }
+            state = self.ckpt.restore_resume(like=like)
+            params = replicate(self.mesh, state["params"])
+            opt_state = replicate(self.mesh, state["opt_state"])
+            key = jnp.asarray(state["key"])
+            step = int(state["step"])
+            # replay the epoch shuffles the interrupted run consumed
+            for _ in range(start_epoch):
+                rng_np.permutation(len(self.ds.train_x))
+            self.writer.console(
+                f"resumed from epoch {meta['epoch']} (step {step})"
+            )
+        for epoch in range(start_epoch, epochs):
             if use_warmup and epoch == cfg.warmup:
                 # optimizer swap at the warmup boundary (pl_modules.py:160-164)
                 use_warmup = False
@@ -590,6 +627,11 @@ class LyapunovTrainer:
                 state = {"params": params, "step": step}
                 self.ckpt.maybe_save_best(state, val, step)
                 self.ckpt.save_last(state, val, step)
+                self.ckpt.save_resume(
+                    {"params": params, "opt_state": opt_state,
+                     "key": key, "step": step, "epoch": epoch},
+                    epoch, step,
+                )
                 self._maybe_plot_simplex(params, key, epoch)
         return params
 

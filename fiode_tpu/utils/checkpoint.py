@@ -58,6 +58,14 @@ class CheckpointManager:
         self.monitor = monitor
         self.mode = mode
         self.best: Optional[float] = None
+        # re-runs in an existing dir (training resume) must not let a worse
+        # epoch steal the 'best' slot: reload the watermark
+        best_json = self.dir / "best.json"
+        if best_json.exists():
+            try:
+                self.best = float(json.loads(best_json.read_text())[monitor])
+            except (KeyError, ValueError):
+                pass
         self.use_orbax = use_orbax and _HAVE_ORBAX
         if self.use_orbax:
             self._ckptr = ocp.StandardCheckpointer()
@@ -103,3 +111,25 @@ class CheckpointManager:
 
     def restore(self, name: str = "best", like=None):
         return self._load(name, like)
+
+    # -- mid-run training resume (Lightning resume_from_checkpoint,
+    #    sl_pipeline.py ModelCheckpoint 'last' semantics) -----------------
+    # Kept as a SEPARATE checkpoint so 'best'/'last' stay {params, step}
+    # and every previously written run directory remains restorable.
+
+    def save_resume(self, tree, epoch: int, step: int):
+        """Full training state (params + opt_state + PRNG key + counters)."""
+        self._save("resume", tree)
+        (self.dir / "resume.json").write_text(
+            json.dumps({"epoch": int(epoch), "step": int(step)})
+        )
+
+    @property
+    def has_resume(self) -> bool:
+        return (self.dir / "resume.json").exists()
+
+    def resume_meta(self) -> dict:
+        return json.loads((self.dir / "resume.json").read_text())
+
+    def restore_resume(self, like=None):
+        return self._load("resume", like)

@@ -140,6 +140,25 @@ class TestTrainer:
         tr = make_trainer(tmp_path, adv_train=True, val_adv=True)
         tr.fit(epochs=1)
 
+    def test_resume_matches_uninterrupted(self, tmp_path):
+        """Killing a run after epoch 1 and resuming must replay the exact
+        uninterrupted trajectory: full optimizer/PRNG state and the numpy
+        shuffle stream are restored (Lightning resume_from_checkpoint
+        parity, sl_pipeline.py ModelCheckpoint 'last')."""
+        tr_full = make_trainer(tmp_path / "full")
+        p_full = tr_full.fit(epochs=3)
+
+        tr_a = make_trainer(tmp_path / "part")
+        tr_a.fit(epochs=2)
+        tr_b = make_trainer(tmp_path / "part")  # fresh process equivalent
+        p_res = tr_b.fit(epochs=3, resume=True)
+
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p_full),
+            jax.tree_util.tree_leaves(p_res),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_evaluate_covers_tail_batch(self, tmp_path):
         """evaluate must see EVERY validation image: ceil-divided batches
         with per-sample weighting (floor division silently dropped up to

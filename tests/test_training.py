@@ -140,6 +140,25 @@ class TestTrainer:
         tr = make_trainer(tmp_path, adv_train=True, val_adv=True)
         tr.fit(epochs=1)
 
+    def test_best_watermark_survives_reopen(self, tmp_path):
+        """A resumed run (fresh CheckpointManager on an existing dir) must
+        not let a worse epoch overwrite the 'best' checkpoint."""
+        from fiode_tpu.utils.checkpoint import CheckpointManager
+
+        m1 = CheckpointManager(str(tmp_path))
+        assert m1.maybe_save_best({"params": {"w": np.ones(2)}, "step": 0},
+                                  {"validation_error": 0.5}, 0)
+        m2 = CheckpointManager(str(tmp_path))
+        assert m2.best == 0.5
+        assert not m2.maybe_save_best(
+            {"params": {"w": np.zeros(2)}, "step": 1},
+            {"validation_error": 0.7}, 1,
+        )
+        assert m2.maybe_save_best(
+            {"params": {"w": np.zeros(2)}, "step": 2},
+            {"validation_error": 0.4}, 2,
+        )
+
     def test_resume_matches_uninterrupted(self, tmp_path):
         """Killing a run after epoch 1 and resuming must replay the exact
         uninterrupted trajectory: full optimizer/PRNG state and the numpy

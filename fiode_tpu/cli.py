@@ -85,6 +85,8 @@ def main(argv=None):
     sp.add_argument("--save", default="run_data/segway.pkl")
     sp.add_argument("--iters", type=int, default=300)
     sp.add_argument("--no-adv", action="store_true")
+    sp.add_argument("--resume", action="store_true",
+                    help="continue from SAVE.resume.pkl")
 
     sp = sub.add_parser("segway-certify")
     sp.add_argument("--model", default="run_data/segway.pkl")
@@ -139,7 +141,7 @@ def main(argv=None):
             adv_train=not args.no_adv,
             fit_lqr_iters=args.iters, barrier_iters=args.iters,
         )
-        train_segway(cfg, save_path=args.save)
+        train_segway(cfg, save_path=args.save, resume=args.resume)
     elif args.cmd == "segway-certify":
         from .control.certify_segway import certify_segway
 

@@ -22,7 +22,7 @@ import numpy as np
 import optax
 
 from ..attacks.pgd import pgd_attack
-from ..utils.checkpoint import save_pytree
+from ..utils.checkpoint import load_pytree, save_pytree
 from .controllers import LinearController, NNController, lqr_gain
 from .lyapunov_ctrl import LyaQuadratic
 from .samplers import grid_uniform_3d, random_uniform
@@ -51,7 +51,18 @@ class SegwayTrainConfig:
 
 
 def train_segway(cfg: SegwayTrainConfig = SegwayTrainConfig(),
-                 save_path: Optional[str] = None, verbose: bool = True):
+                 save_path: Optional[str] = None, verbose: bool = True,
+                 resume: bool = False, checkpoint_every: int = 50):
+    """``resume=True`` continues from ``save_path + '.resume.pkl'`` (full
+    phase/iter/optimizer/PRNG state, written every ``checkpoint_every``
+    iterations) — both host-chained loops survive a killed client the way
+    the classifier trainer's ``fit(resume=True)`` does."""
+    import pathlib
+
+    resume_path = (save_path + ".resume.pkl") if save_path else None
+    st = None
+    if resume and resume_path and pathlib.Path(resume_path).exists():
+        st = load_pytree(resume_path)
     system = Segway()
     goal = jnp.zeros((1, 3))
     Q = 10.0 * np.eye(3)
@@ -85,11 +96,25 @@ def train_segway(cfg: SegwayTrainConfig = SegwayTrainConfig(),
         up, opt_state = tx1.update(g, opt_state, params)
         return optax.apply_updates(params, up), opt_state, loss
 
-    for i in range(cfg.fit_lqr_iters):
-        key, k = jax.random.split(key)
-        ctrl.params, opt1, l1 = fit_step(ctrl.params, opt1, k)
-    if verbose:
-        print(f"[segway] LQR fit loss: {float(l1):.5f}")
+    p1_start, l1 = 0, None
+    if st is not None and st["phase"] == 1:
+        ctrl.params, opt1 = st["ctrl_params"], st["opt1"]
+        key = jnp.asarray(st["key"])
+        p1_start = int(st["i"])
+        if verbose:
+            print(f"[segway] resumed phase 1 at iter {p1_start}")
+    if st is None or st["phase"] == 1:
+        for i in range(p1_start, cfg.fit_lqr_iters):
+            key, k = jax.random.split(key)
+            ctrl.params, opt1, l1 = fit_step(ctrl.params, opt1, k)
+            if (resume_path and checkpoint_every
+                    and (i + 1) % checkpoint_every == 0):
+                save_pytree(resume_path, {
+                    "phase": 1, "i": i + 1, "key": np.asarray(key),
+                    "ctrl_params": ctrl.params, "opt1": opt1,
+                })
+        if verbose and l1 is not None:
+            print(f"[segway] LQR fit loss: {float(l1):.5f}")
 
     # ---- phase 2: barrier training over the banded grid ---------------------
 
@@ -141,7 +166,15 @@ def train_segway(cfg: SegwayTrainConfig = SegwayTrainConfig(),
         return params, opt_state, loss, worst
 
     best_loss, best_params = np.inf, train_params
-    for i in range(cfg.barrier_iters):
+    p2_start = 0
+    if st is not None and st["phase"] == 2:
+        train_params, opt2 = st["train_params"], st["opt2"]
+        best_loss, best_params = float(st["best_loss"]), st["best_params"]
+        key = jnp.asarray(st["key"])
+        p2_start = int(st["i"])
+        if verbose:
+            print(f"[segway] resumed phase 2 at iter {p2_start}")
+    for i in range(p2_start, cfg.barrier_iters):
         key, k = jax.random.split(key)
         train_params, opt2, loss, worst = barrier_step(train_params, opt2, k)
         l = float(loss)
@@ -150,6 +183,13 @@ def train_segway(cfg: SegwayTrainConfig = SegwayTrainConfig(),
             best_params = jax.tree_util.tree_map(lambda a: a, train_params)
             if verbose and i % 50 == 0:
                 print(f"[segway] iter {i}: loss={l:.5f} worst_vdot={float(worst):.5f}")
+        if (resume_path and checkpoint_every
+                and (i + 1) % checkpoint_every == 0):
+            save_pytree(resume_path, {
+                "phase": 2, "i": i + 1, "key": np.asarray(key),
+                "train_params": train_params, "opt2": opt2,
+                "best_loss": best_loss, "best_params": best_params,
+            })
 
     result = {
         "ctrl": best_params["ctrl"],

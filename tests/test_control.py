@@ -114,6 +114,36 @@ class TestVdotBounds:
 
 
 class TestEndToEnd:
+    def test_segway_resume_matches_uninterrupted(self, tmp_path):
+        """A killed-and-resumed segway training replays the exact
+        uninterrupted trajectory (full phase/iter/optimizer/PRNG state in
+        SAVE.resume.pkl)."""
+        small = dict(fit_lqr_iters=6, barrier_iters=8, grid_r=0.3,
+                     batch_size=64, adv_train=True, eps=0.01)
+        full = train_segway(
+            SegwayTrainConfig(**small), verbose=False,
+        )
+        # "kill" after 4 barrier iters (checkpoint written at iter 4),
+        # then resume to the full budget
+        p = str(tmp_path / "seg.pkl")
+        train_segway(
+            SegwayTrainConfig(**{**small, "barrier_iters": 4}),
+            save_path=p, verbose=False, checkpoint_every=4,
+        )
+        resumed = train_segway(
+            SegwayTrainConfig(**small), save_path=p, verbose=False,
+            resume=True, checkpoint_every=4,
+        )
+        assert resumed["best_loss"] == full["best_loss"]
+        for a, b in zip(
+            jax.tree_util.tree_leaves(full["ctrl"]),
+            jax.tree_util.tree_leaves(resumed["ctrl"]),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(
+            np.asarray(full["P"]), np.asarray(resumed["P"])
+        )
+
     def test_train_and_certify_small(self, tmp_path):
         cfg = SegwayTrainConfig(
             fit_lqr_iters=60, barrier_iters=60, grid_r=0.15,

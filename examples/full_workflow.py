@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--T", type=int, default=20)
     ap.add_argument("--certify-images", type=int, default=20)
     ap.add_argument("--attack-images", type=int, default=128)
+    ap.add_argument("--resume", action="store_true",
+                    help="continue an interrupted training run from the "
+                    "run dir's resume checkpoint")
     ap.add_argument("--restore", action="store_true",
                     help="skip training; restore the run-dir's checkpoint")
     ap.add_argument("--seed", type=int, default=0,
@@ -94,7 +97,7 @@ def main():
                 pass
         print("[workflow] restored best checkpoint", flush=True)
     else:
-        params = tr.fit(epochs=args.epochs)
+        params = tr.fit(epochs=args.epochs, resume=args.resume)
         results["train_seconds"] = time.time() - t0
     val = tr.evaluate(params, jax.random.PRNGKey(7))
     results["validation_error"] = val["validation_error"]

@@ -51,10 +51,14 @@ def _mesh_placers(mesh: Optional[Mesh]):
         ident = lambda a: a
         return ident, ident
     names = mesh.axis_names
-    img_ax = "img" if "img" in names else None
-    cell_ax = "cell" if "cell" in names else (
-        names[0] if len(names) == 1 else None
-    )
+    # a 1-D mesh always shards cells only, whatever its axis is called —
+    # splitting images AND cells over the same device axis would force
+    # GSPMD to gather one of them back
+    if len(names) == 1:
+        img_ax, cell_ax = None, names[0]
+    else:
+        img_ax = "img" if "img" in names else None
+        cell_ax = "cell" if "cell" in names else None
 
     def put(a, dim, ax):
         if ax is None:
@@ -174,6 +178,8 @@ class CertifyResult:
     cells_per_image: int
     cells_checked: int
     seconds: float
+    # filled by method='lipschitz' (grid-gap slack dropped); None for crown
+    larger_T_certified: Optional[np.ndarray] = None
 
     @property
     def clean_acc(self):
@@ -255,9 +261,15 @@ class Certifier:
         )
         if std_min is None:
             std_min = float(np.min(getattr(model.backbone, "std", (1.0,))))
-        # Lipschitz of dynamics wrt x through the Lip-1 backbone + Normalize
+        # Lipschitz of dynamics wrt x through the Lip-1 backbone + Normalize.
+        # CROWN uses 1/min(std) unconditionally (certify_crown.py:65-67);
+        # the Lipschitz certificate must widen by alpha_1 when scale_nominal
+        # is on — the sigmoid rescaling multiplies the input sensitivity
+        # (certify_lipschitz.py:67-72: Lfx = alpha_1/min(std) in that case).
         self.Lfx = 1.0 / std_min
         self.kappa = float(np.sqrt(2.0) * self.Lfx * eps_input)
+        lfx_lips = (dyn.alpha_1 if scale_nominal else 1.0) / std_min
+        self.kappa_lips = float(np.sqrt(2.0) * lfx_lips * eps_input)
 
         dense = densify_dynamics_params(params["dynamics"])
         self.Ws = [
@@ -283,11 +295,11 @@ class Certifier:
 
         self._crown_chunk = self._make_crown_chunk()
         self._lips_chunk = self._make_lips_chunk()
+        # model.predict passes params.get("output") (output='linear' needs
+        # it) and uses the bounded-scan integrator (while-loop predicates
+        # cost a host round trip per step on relay-attached TPUs)
         self._predict = jax.jit(
-            lambda p, x: jnp.argmax(
-                self.model.output_fn(self.model.solve(p, x, mode="while").ys[-1]),
-                -1,
-            )
+            lambda p, x: jnp.argmax(self.model.predict(p, x, mode="scan"), -1)
         )
         self._features = jax.jit(self.model.features)
 
@@ -387,8 +399,9 @@ class Certifier:
             eta_ub = jnp.max(eta_l, -1) + eps
             Lf_eta = jnp.sqrt(float(n)) * (s1 * a1 * jnp.exp(s1 * eta_ub)) + 1.0
             slack = jnp.sqrt(2.0) * Lf_eta * dist
-            v_full = jnp.where(valid, vdot + slack + self.kappa, -jnp.inf)
-            v_larger_T = jnp.where(valid, vdot + self.kappa, -jnp.inf)
+            v_full = jnp.where(valid, vdot + slack + self.kappa_lips,
+                               -jnp.inf)
+            v_larger_T = jnp.where(valid, vdot + self.kappa_lips, -jnp.inf)
             return jnp.max(v_full), jnp.max(v_larger_T)
 
         @jax.jit
@@ -652,7 +665,8 @@ class Certifier:
                 "method": method,
                 "matmul_precision": self.matmul_precision,
                 "T": self.T,
-                "kappa": self.kappa,
+                "kappa": (self.kappa if method == "crown"
+                          else self.kappa_lips),
                 "clean_acc": res.clean_acc,
                 "certified_acc": res.certified_acc,
                 "certified_idx": (

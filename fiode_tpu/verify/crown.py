@@ -221,12 +221,15 @@ def optimize_crown_alphas(
     """Projected-gradient alpha-CROWN: pick lower slopes that minimize
     ``loss_fn(lb, ub) -> (N,)`` per cell.
 
-    Intermediate pre-activation bounds are computed once with the standard
-    heuristic and held fixed (standard alpha-CROWN practice); only the
-    final backward pass sees the optimized slopes, and soundness holds for
-    every iterate (see crown_mlp_bounds), so no certification logic
-    changes.  Returns the optimized ``alphas`` list; pass it back into
-    ``crown_mlp_bounds``.
+    Each gradient step re-runs the FULL ``crown_mlp_bounds`` chain with the
+    current alphas — intermediate pre-activation bounds are re-derived
+    through the alpha-modified earlier layers on every iterate, not frozen
+    (a costlier-but-tighter variant of the usual fix-intermediates
+    alpha-CROWN scheme; the differentiated graph is the whole bound chain
+    per iteration).  Soundness holds for every iterate because every
+    alpha in [0, 1] yields a valid lower relaxation (see crown_mlp_bounds),
+    so no certification logic changes.  Returns the optimized ``alphas``
+    list; pass it back into ``crown_mlp_bounds``.
 
     ``select_fn(lb, ub) -> (N,)``, when given, scores iterates for the
     per-cell best-tracking while ``loss_fn`` still drives the gradient.

@@ -318,6 +318,20 @@ class TestCertifierEndToEnd:
             ~res_c.certified | res_l.larger_T_certified
         ).all(), "CROWN certified an image whose exact grid values violate"
 
+    def test_scale_nominal_widens_lipschitz_kappa(self, tmp_path):
+        """Under scale_nominal the sigmoid rescaling multiplies input
+        sensitivity: the Lipschitz certificate must use
+        Lfx = alpha_1/min(std) (certify_lipschitz.py:67-72), while CROWN's
+        kappa stays 1/min(std) (certify_crown.py:65-67)."""
+        model, params, x = self._make(tmp_path)
+        off = Certifier(model, params, T=8, eps_input=0.1, chunk=64)
+        on = Certifier(model, params, T=8, eps_input=0.1, chunk=64,
+                       scale_nominal=True)
+        assert off.kappa_lips == off.kappa
+        assert on.kappa == off.kappa  # CROWN kappa unconditional
+        a1 = model.dynamics.alpha_1
+        np.testing.assert_allclose(on.kappa_lips, a1 * off.kappa, rtol=1e-6)
+
     def test_alpha_crown_certifier_no_looser_and_consistent(self, tmp_path):
         # alpha-CROWN refinement may only move per-image worst Vdot down:
         # its certified set contains plain CROWN's, and stays inside the

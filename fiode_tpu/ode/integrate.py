@@ -17,8 +17,14 @@ reference (FI-ODE models.py:221-241, pl_modules.py:18-35):
         through the solver, the reference's training default
         use_adjoint=False).
   * dense output at requested ``ts`` by cubic Hermite interpolation between
-    accepted steps (4th-order accurate; torchdiffeq uses a same-order
-    quartic fit — both are far below integration tolerance at 1e-3).
+    accepted steps (torchdiffeq uses a same-order quartic fit).  NOTE:
+    interior-point accuracy is O(h^4) of the SOLVER'S step size, which the
+    controller picks for endpoint tolerance, not output density — a
+    high-order solver taking large steps can interpolate interior points
+    one to two orders of magnitude above the integration tolerance
+    (measured: dopri8 at rtol 1e-3, interior error up to ~5e-2 vs 6e-5 at
+    the endpoint).  For tolerance-grade trajectories use a lower-order
+    solver (smaller h) or tighter rtol.
 
 States are single jnp arrays (the framework's ODE states are simplex
 tensors); wrap pytrees with `jax.flatten_util.ravel_pytree` if needed.
@@ -234,7 +240,17 @@ def _integrate_adaptive_while(tab, f, y0, ts, rtol, atol, args, max_steps, error
         jnp.asarray(0, jnp.int32),
         jnp.asarray(0, jnp.int32),
     )
-    (_, _, _, _, ys, _, nfe, nacc, nrej, _) = jax.lax.while_loop(cond, body, init)
+    (_, y_fin, _, _, ys, out_idx, nfe, nacc, nrej, _) = jax.lax.while_loop(
+        cond, body, init
+    )
+    # If max_steps ran out (or the controller stalled on a NaN ratio)
+    # before ts[-1], the remaining output slots were never filled: clamp
+    # them to the last reached state — the same partial-solution semantics
+    # as scan mode — instead of leaking the jnp.zeros init as fake states.
+    unfilled = (
+        jnp.arange(n_out) >= out_idx
+    ).reshape((n_out,) + (1,) * y0.ndim)
+    ys = jnp.where(unfilled, y_fin, ys)
     return OdeSolution(ys, nfe, nacc, nrej)
 
 
@@ -406,10 +422,26 @@ def _integrate_fixed(method, f, y0, ts, step_size, args):
     n_corr = {"implicit_adams": 4, "fixed_adams": 1}.get(method, 0)
 
     def seg(carry, t_pair):
-        y, nfe = carry
+        # hist/warm/h_prev thread the Adams slope history ACROSS output
+        # segments: a dense output grid (n_sub == 1 per segment) would
+        # otherwise re-bootstrap every segment and the multistep method
+        # never runs (torchdiffeq's fixed-grid Adams keeps one history for
+        # the whole solve).  warm counts valid history rows; it resets only
+        # when the substep size changes (AB4/AM4 coefficients assume
+        # uniform spacing).
+        y, hist, warm, h_prev, nfe = carry
         t_a, t_b = t_pair
         dt = t_b - t_a
-        n_sub = jnp.maximum(jnp.ceil(jnp.abs(dt) / step_size).astype(jnp.int32), 1)
+        # 1e-4 relative slack: output grids built by linspace/arange carry
+        # float32 rounding on dt, and a 1-ulp-over ratio must not double
+        # the substep count (torchdiffeq steps a single global grid and has
+        # no such boundary)
+        n_sub = jnp.maximum(
+            jnp.ceil(jnp.abs(dt) / step_size * (1.0 - 1e-4)).astype(
+                jnp.int32
+            ),
+            1,
+        )
         h = dt / n_sub.astype(y0.dtype)
 
         if not adams:
@@ -424,15 +456,22 @@ def _integrate_fixed(method, f, y0, ts, step_size, args):
 
             y, nfe = jax.lax.fori_loop(0, n_sub, sub, (y, nfe))
         else:
+            # 1e-3 relative: grid rounding perturbs h by ~ulp(t); AB4/AM4
+            # coefficients tolerate that, while a real step change
+            # (non-uniform ts) still resets the history
+            warm = jnp.where(
+                jnp.abs(h - h_prev) <= 1e-3 * jnp.abs(h), warm, 0
+            )
 
             def sub(i, state):
-                y, hist, nfe = state  # hist: (4, *y.shape) slopes f(t-3h..t)
+                y, hist, warm, nfe = state  # hist: (4, *y) f(t-3h..t)
                 t = t_a + i.astype(y0.dtype) * h
                 f0 = f(t, y, args)
                 hist = jnp.concatenate([hist[1:], f0[None]], axis=0)
+                warm = jnp.minimum(warm + 1, 4)
 
                 def startup(_):
-                    # RK4 bootstrap for the first 3 substeps: 3 stage evals
+                    # RK4 bootstrap while history is short: 3 stage evals
                     # beyond f0
                     y_rk, _, _ = _rk_step(tab, f, t, y, f0, h, args)
                     return y_rk, jnp.asarray(3, jnp.int32)
@@ -450,16 +489,23 @@ def _integrate_fixed(method, f, y0, ts, step_size, args):
                         )
                     return y_next, jnp.asarray(n_corr, jnp.int32)
 
-                y_next, extra = jax.lax.cond(i >= 3, adams_step, startup, None)
-                return y_next, hist, nfe + 1 + extra
+                y_next, extra = jax.lax.cond(
+                    warm >= 4, adams_step, startup, None
+                )
+                return y_next, hist, warm, nfe + 1 + extra
 
-            hist0 = jnp.zeros((4,) + y0.shape, y0.dtype)
-            y, _, nfe = jax.lax.fori_loop(0, n_sub, sub, (y, hist0, nfe))
-        return (y, nfe), y
+            y, hist, warm, nfe = jax.lax.fori_loop(
+                0, n_sub, sub, (y, hist, warm, nfe)
+            )
+        return (y, hist, warm, h, nfe), y
 
     t_pairs = jnp.stack([ts[:-1], ts[1:]], axis=-1)
-    (_, nfe), ys_rest = jax.lax.scan(
-        seg, (y0, jnp.asarray(0, jnp.int32)), t_pairs
+    hist0 = jnp.zeros((4,) + y0.shape, y0.dtype)
+    (_, _, _, _, nfe), ys_rest = jax.lax.scan(
+        seg,
+        (y0, hist0, jnp.asarray(0, jnp.int32), jnp.asarray(0.0, y0.dtype),
+         jnp.asarray(0, jnp.int32)),
+        t_pairs,
     )
     ys = jnp.concatenate([y0[None], ys_rest], axis=0)
     zero = jnp.asarray(0, jnp.int32)

@@ -68,10 +68,12 @@ def cayley(W: jax.Array) -> jax.Array:
     UH = jnp.conjugate(jnp.swapaxes(U, -2, -1))
     VH = jnp.conjugate(jnp.swapaxes(V, -2, -1))
     A = U - UH + VH @ V
-    # solve (I + A) X = (I - A)  and  (I + A) Y = V^H-free identity
+    # one factorization serves both blocks:
+    #   (I+A)^{-1}(I-A) = 2(I+A)^{-1} - I
     iplusA = eye + A
-    top = jnp.linalg.solve(iplusA, eye - A)
-    bottom = -2.0 * V @ jnp.linalg.solve(iplusA, eye)
+    X = jnp.linalg.solve(iplusA, eye)  # (I + A)^{-1}
+    top = 2.0 * X - eye
+    bottom = -2.0 * V @ X
     Q = jnp.concatenate([top, bottom], axis=-2)
 
     if transposed:

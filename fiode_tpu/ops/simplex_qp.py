@@ -183,21 +183,26 @@ def _box_bwd(n_iter, unroll, res, g):
     upper_active = (nominal - mu) > upper
     free = ~(lower_active | upper_active)
 
-    def masked_correction(mask):
-        cnt = jnp.maximum(
-            jnp.sum(mask, axis=-1, keepdims=True).astype(g.dtype), 1.0
-        )
-        return jnp.sum(jnp.where(mask, g, 0.0), axis=-1, keepdims=True) / cnt
-
-    # Reference uses |not lower_active| / |not upper_active| / |free|
-    # cardinalities for the three blocks respectively (:178,196-209).
-    corr_free = masked_correction(free)
-    corr_not_lower = masked_correction(~lower_active)
-    corr_not_upper = masked_correction(~upper_active)
+    # Exact active-set Jacobian.  With mu = (sum_F nominal + sum_L lower
+    # + sum_U upper)/|F| from the budget, EVERY active coordinate pushes mu
+    # onto the FREE rows only, so all three blocks share the same
+    # mean-over-free correction.  The reference instead normalizes the
+    # lower/upper blocks by |not lower_active| / |not upper_active|
+    # (barrier_projection.py:178,196-209) — correct when only one bound
+    # type is active per row (then ~L == F), but finite-difference-wrong
+    # whenever a row clamps against BOTH bounds; we keep the true
+    # derivative (verified against central differences in
+    # tests/test_simplex_qp.py, incl. mixed-active rows).
+    cnt_free = jnp.maximum(
+        jnp.sum(free, axis=-1, keepdims=True).astype(g.dtype), 1.0
+    )
+    corr_free = (
+        jnp.sum(jnp.where(free, g, 0.0), axis=-1, keepdims=True) / cnt_free
+    )
 
     d_nominal = jnp.where(free, g - corr_free, 0.0)
-    d_lower = jnp.where(lower_active, g - corr_not_lower, 0.0)
-    d_upper = jnp.where(upper_active, g - corr_not_upper, 0.0)
+    d_lower = jnp.where(lower_active, g - corr_free, 0.0)
+    d_upper = jnp.where(upper_active, g - corr_free, 0.0)
     return d_lower, d_upper, d_nominal
 
 

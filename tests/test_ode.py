@@ -46,6 +46,24 @@ class TestAdaptive:
         )
         assert int(sol.nfe) > 0
 
+    def test_max_steps_exhaustion_returns_partial_state_not_zeros(self):
+        """A stiff RHS that exhausts max_steps must return the last reached
+        state in BOTH modes (torchdiffeq raises; returning the zeros output
+        init would silently feed fake states to predict())."""
+        f = lambda t, y, args: -1e8 * y
+        y0 = jnp.ones((2,))
+        ts = jnp.asarray([0.0, 1.0])
+        sw = jax.jit(
+            lambda y: odeint(f, y, ts, mode="while", max_steps=50)
+        )(y0)
+        ss = jax.jit(
+            lambda y: odeint(f, y, ts, mode="scan", max_steps=50)
+        )(y0)
+        assert np.all(np.asarray(sw.ys[-1]) > 0), "zeros leaked from init"
+        np.testing.assert_allclose(
+            np.asarray(sw.ys[-1]), np.asarray(ss.ys[-1]), rtol=1e-4
+        )
+
     def test_methods_agree_on_oscillator(self):
         y0 = jnp.asarray([[1.0, 0.0], [0.0, 2.0]])
         ts = jnp.asarray([0.0, 0.5 * np.pi])
@@ -150,6 +168,33 @@ class TestFixed:
         np.testing.assert_allclose(
             np.asarray(sol.ys[-1]), np.exp(-1.0) * np.ones((4, 3)), atol=tol
         )
+
+    def test_adams_history_survives_dense_output_grid(self):
+        """A dense output grid (one substep per segment) must NOT reset the
+        Adams slope history: the dense solve takes the same multistep steps
+        as the sparse one (same endpoint, same NFE = 1 eval/step after the
+        RK4 startup) instead of silently degenerating to per-segment RK4
+        (torchdiffeq's fixed-grid Adams keeps one history per solve)."""
+        y0 = jnp.ones((2,))
+        dense_ts = jnp.linspace(0.0, 1.0, 101)
+        run = lambda ts: jax.jit(
+            lambda y: odeint(
+                f_decay, y, ts, method="explicit_adams", step_size=0.01
+            )
+        )(y0)
+        dense = run(dense_ts)
+        sparse = run(TS)
+        np.testing.assert_allclose(
+            np.asarray(dense.ys[-1]), np.asarray(sparse.ys[-1]), rtol=1e-5
+        )
+        assert int(dense.nfe) == int(sparse.nfe), (
+            int(dense.nfe), int(sparse.nfe),
+        )
+        rk4 = jax.jit(
+            lambda y: odeint(f_decay, y, dense_ts, method="rk4",
+                             step_size=0.01)
+        )(y0)
+        assert int(dense.nfe) < int(rk4.nfe), "Adams degenerated to RK4"
 
 
 class TestGradients:

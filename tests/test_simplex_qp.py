@@ -182,3 +182,44 @@ class TestBoxProjection:
                 assert abs(fd - an) <= rtol * max(1.0, abs(fd)), (
                     f"arg{arg}[{i},{j}]: fd={fd:.5f} analytic={an:.5f}"
                 )
+
+    def test_vjp_matches_fd_with_both_bounds_active(self):
+        """Rows clamping against BOTH bounds: every active coordinate pushes
+        mu onto the free set only, so all three VJP blocks share the
+        mean-over-free correction.  (The reference's backward normalizes by
+        |~L|/|~U| instead, which finite differences refute on such rows —
+        barrier_projection.py:178,196-209; we ship the exact Jacobian.)"""
+        rng = np.random.default_rng(11)
+        n = 6  # matches the _box_loss weight vector
+        # two far-above-upper, two far-below-lower, two mid-box coordinates
+        # per row => both bounds active AND a strict free set (asymmetric
+        # bounds keep the solution away from degenerate exact-boundary
+        # kinks, where the projection is genuinely non-differentiable)
+        lower = np.full((4, n), -0.35, np.float32)
+        upper = np.full((4, n), 0.25, np.float32)
+        base = np.array([2.0, 1.5, -2.0, -1.7, 0.08, -0.05], np.float32)
+        nominal = base + rng.normal(scale=0.02, size=(4, n)).astype(
+            np.float32
+        )
+        v = np.asarray(_box(lower, upper, nominal))
+        la = (v <= lower + 1e-6).sum(-1)
+        ua = (v >= upper - 1e-6).sum(-1)
+        assert (la > 0).all() and (ua > 0).all(), "fixture lost mixed rows"
+        assert ((la + ua) < n).all(), "fixture lost free coordinates"
+        grads = _box_grad(lower, upper, nominal)
+        eps, rtol = 1e-3, 0.08
+        args0 = [lower, upper, nominal]
+        for arg in range(3):
+            for i in range(4):
+                for j in range(n):
+                    d = np.zeros_like(args0[arg])
+                    d[i, j] = eps
+                    ap = list(args0)
+                    am = list(args0)
+                    ap[arg] = args0[arg] + d
+                    am[arg] = args0[arg] - d
+                    fd = (_box_loss(*ap) - _box_loss(*am)) / (2 * eps)
+                    an = grads[arg][i, j]
+                    assert abs(fd - an) <= rtol * max(1.0, abs(fd)), (
+                        f"arg{arg}[{i},{j}]: fd={fd:.5f} analytic={an:.5f}"
+                    )

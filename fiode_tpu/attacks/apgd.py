@@ -64,6 +64,14 @@ def ce_loss(logits, y):
 
 
 def dlr_loss_targeted(logits, y, y_target):
+    if logits.shape[-1] < 4:
+        # srt[:, -4] would silently CLAMP to srt[:, 0] for n<4, optimizing
+        # an undefined objective; the autoattack package refuses DLR below
+        # 4 classes the same way (autoattack/autopgd_base.py)
+        raise ValueError(
+            "targeted DLR loss needs >= 4 classes "
+            f"(got {logits.shape[-1]}); drop apgd-t/fab-t for this model"
+        )
     srt = jnp.sort(logits, axis=-1)
     z_y = logits[jnp.arange(y.shape[0]), y]
     z_t = logits[jnp.arange(y.shape[0]), y_target]
@@ -125,13 +133,14 @@ def apgd_attack(
     x_prev = xk
     x_best = xk
     f_best = lv
+    g_best = g
     f_best_prev_ck = lv
     step_halved_last = jnp.zeros((B,), bool)
     succ_since_ck = jnp.zeros((B,), jnp.int32)
     ck_size = jnp.zeros((), jnp.int32)
 
     def body(k, carry):
-        (xk, x_prev, g, lv, step, x_best, f_best, f_best_prev_ck,
+        (xk, x_prev, g, lv, step, x_best, f_best, g_best, f_best_prev_ck,
          step_halved_last, succ_since_ck, ck_size) = carry
         z = _project(xk + step * _normalize_grad(g, norm), x0, eps, norm)
         x_new = _project(
@@ -139,39 +148,48 @@ def apgd_attack(
             x0, eps, norm,
         )
         lv_new, g_new = loss_and_grad(x_new)
+        # Croce & Hein condition 1 counts PER-STEP improvements
+        # f(x_{k+1}) > f(x_k) (Alg. 1 line 9), not improvements over the
+        # running best — the stricter count over-halves step sizes
+        succ_since_ck = succ_since_ck + (lv_new > lv).astype(jnp.int32)
         improved = lv_new > f_best
-        succ_since_ck = succ_since_ck + improved.astype(jnp.int32)
         x_best = jnp.where(improved.reshape(bshape), x_new, x_best)
+        g_best = jnp.where(improved.reshape(bshape), g_new, g_best)
         f_best = jnp.maximum(f_best, lv_new)
         ck_size = ck_size + 1
 
         def at_checkpoint(args):
-            (step, x_cur, f_best, f_best_prev_ck, step_halved_last,
-             succ_since_ck, ck_size) = args
+            (step, x_cur, g_cur, lv_cur, f_best, f_best_prev_ck,
+             step_halved_last, succ_since_ck, ck_size) = args
             cond1 = succ_since_ck < jnp.ceil(
                 rho * ck_size.astype(jnp.float32)
             ).astype(jnp.int32)
             cond2 = (~step_halved_last) & (f_best <= f_best_prev_ck)
             halve = cond1 | cond2
             step = jnp.where(halve.reshape(bshape), step * 0.5, step)
-            # restart from the best point where halved
+            # restart from the best point where halved, WITH its loss and
+            # gradient (the original implementation restores grad_best
+            # alongside x_best; stepping along the discarded iterate's
+            # gradient from x_best moves in the wrong direction)
             x_cur = jnp.where(halve.reshape(bshape), x_best, x_cur)
-            return (step, x_cur, f_best, f_best, halve,
+            g_cur = jnp.where(halve.reshape(bshape), g_best, g_cur)
+            lv_cur = jnp.where(halve, f_best, lv_cur)
+            return (step, x_cur, g_cur, lv_cur, f_best, f_best, halve,
                     jnp.zeros_like(succ_since_ck), jnp.zeros_like(ck_size))
 
-        (step, x_new, f_best, f_best_prev_ck, step_halved_last,
-         succ_since_ck, ck_size) = jax.lax.cond(
+        (step, x_new, g_new, lv_new, f_best, f_best_prev_ck,
+         step_halved_last, succ_since_ck, ck_size) = jax.lax.cond(
             checkpoints[k],
             at_checkpoint,
             lambda a: a,
-            (step, x_new, f_best, f_best_prev_ck, step_halved_last,
-             succ_since_ck, ck_size),
+            (step, x_new, g_new, lv_new, f_best, f_best_prev_ck,
+             step_halved_last, succ_since_ck, ck_size),
         )
-        return (x_new, xk, g_new, lv_new, step, x_best, f_best,
+        return (x_new, xk, g_new, lv_new, step, x_best, f_best, g_best,
                 f_best_prev_ck, step_halved_last, succ_since_ck, ck_size)
 
-    carry = (xk, x_prev, g, lv, step, x_best, f_best, f_best_prev_ck,
-             step_halved_last, succ_since_ck, ck_size)
+    carry = (xk, x_prev, g, lv, step, x_best, f_best, g_best,
+             f_best_prev_ck, step_halved_last, succ_since_ck, ck_size)
     carry = jax.lax.fori_loop(1, n_iter, body, carry)
     return carry[5], carry[6]
 

@@ -93,9 +93,10 @@ def fab_targeted(
 
         def body(i, carry):
             xi, best_adv, best_dist = carry
-            # per-example margins and grads via one vjp
-            mvals = margin_fn(xi, y_t)
-            _, vjp = jax.vjp(lambda z: margin_fn(z, y_t), xi)
+            # per-example margins and grads via ONE forward: jax.vjp's
+            # primal output IS margin_fn(xi) — a separate call would pay a
+            # third ODE solve per iteration
+            mvals, vjp = jax.vjp(lambda z: margin_fn(z, y_t), xi)
             (g,) = vjp(jnp.ones_like(mvals))
             b = mvals - jnp.sum((g * xi).reshape(B, -1), -1)
 

@@ -65,9 +65,12 @@ def pgd_attack(
         if norm == "Linf":
             delta = jax.random.uniform(key, x.shape, minval=-eps, maxval=eps)
         else:
-            d = jax.random.normal(key, x.shape)
+            k_dir, k_rad = jax.random.split(key)  # independent draws
+            d = jax.random.normal(k_dir, x.shape)
             d = _l2_normalize(d)
-            r = jax.random.uniform(key, (x.shape[0],) + (1,) * (x.ndim - 1))
+            r = jax.random.uniform(
+                k_rad, (x.shape[0],) + (1,) * (x.ndim - 1)
+            )
             delta = d * r * eps
         xa = jnp.clip(x + delta, clip_min, clip_max)
     else:

@@ -69,9 +69,15 @@ def _square_body(logits_fn, x, y, *, eps, norm, n_queries, p_init):
             jnp.round(jnp.sqrt(p * H * W)).astype(jnp.int32), 1
         )
         s = jnp.minimum(s, min(H, W))
-        r0 = jax.random.randint(ks, (B,), 0, H)  # clipped below
-        c0 = jax.random.randint(kp, (B,), 0, W)
-        r0 = jnp.minimum(r0, H - s)
+        # uniform over {0..H-s} (paper r0 ~ U({0..h-s})): sampling [0, H)
+        # then clamping would give the bottom/right edge position s times
+        # the interior probability — nearly deterministic placement early
+        # in the schedule when s ~ H
+        u_r = jax.random.uniform(ks, (B,))
+        u_c = jax.random.uniform(kp, (B,))
+        r0 = jnp.floor(u_r * (H - s + 1).astype(u_r.dtype)).astype(jnp.int32)
+        c0 = jnp.floor(u_c * (W - s + 1).astype(u_c.dtype)).astype(jnp.int32)
+        r0 = jnp.minimum(r0, H - s)  # guard the u == 1.0 corner
         c0 = jnp.minimum(c0, W - s)
         rows = jnp.arange(H)[None, :]
         cols = jnp.arange(W)[None, :]

@@ -124,7 +124,13 @@ def trajectory_sampler(key, y, n, sample_size, *, model=None, params=None,
     stateless samplers unless provided."""
     if model is None:
         raise ValueError("trajectory_sampler needs model/params/x")
-    traj = model.trajectory(params, x, n_points=sample_size, mode="while")
+    # raw HIDDEN states, not model.trajectory(): that applies output_fn,
+    # which leaves the n_hidden sampling space for first_n/linear outputs.
+    # scan mode: h is stop_gradient'ed by the caller, and while-loop
+    # predicates pay a host round trip per iteration on relay-attached
+    # TPUs (CLAUDE.md).
+    ts = jnp.linspace(0.0, model.t_max, sample_size)
+    traj = model.solve(params, x, ts, mode="scan").ys
     # (S, B, n) -> (B, S, n)
     return jnp.swapaxes(traj, 0, 1)
 

@@ -383,6 +383,15 @@ class LyapunovTrainer:
         model = self.model
 
         def predict_with_nfe(params, x):
+            if cfg.objective == "classical":
+                # ClassicalLearning trains ONLY the backbone — validating
+                # through the (untrained) ODE solve would select
+                # checkpoints on noise (pl_modules.py:247-270: the plain
+                # CNN is the model)
+                return (
+                    jax.nn.softmax(model.features(params, x)),
+                    jnp.zeros((), jnp.int32),
+                )
             sol = model.solve(params, x, mode="while")
             return (
                 model.output_fn(sol.ys[-1], params.get("output")),
@@ -393,6 +402,8 @@ class LyapunovTrainer:
             return predict_with_nfe(params, x)[0]
 
         def predict_diff(params, x):
+            if cfg.objective == "classical":
+                return jax.nn.softmax(model.features(params, x))
             return model.output_fn(
                 model.solve(params, x, mode="scan").ys[-1],
                 params.get("output"),
@@ -543,6 +554,9 @@ class LyapunovTrainer:
 
             t_epoch = time.time()
             spc = max(1, cfg.steps_per_call)
+            # datasets smaller than one batch yield zero steps (drop_last);
+            # the eval console line must not NameError on 'loss' then
+            loss = jnp.asarray(float("nan"))
             group_x, group_y = [], []
             for bx, by in self._batches(
                 rng_np, self.ds.train_x, self.ds.train_y, cfg.batch_size

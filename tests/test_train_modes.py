@@ -48,6 +48,10 @@ class TestObjectives:
         recs = [json.loads(l) for l in open(tmp_path / "run" / "metrics.jsonl")]
         losses = [r["training_loss"] for r in recs if "training_loss" in r]
         assert losses[-1] < losses[0]
+        # validation must score the BACKBONE (the trained model), not the
+        # untrained ODE: nfe 0 marks the no-solve eval path
+        vals = [r for r in recs if "val_nfe" in r]
+        assert vals and vals[-1]["val_nfe"] == 0.0
 
 
 class TestLipsTrain:

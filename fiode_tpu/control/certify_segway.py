@@ -25,7 +25,7 @@ import numpy as np
 
 from ..utils.checkpoint import load_pytree
 from ..verify.crown import crown_mlp_bounds
-from ..verify.interval import IV
+from ..verify.interval import IV, iv_dot
 from .controllers import NNController, NNControllerModule
 from .lyapunov_ctrl import LyaQuadratic
 from .samplers import grid_uniform_3d, random_uniform, reject_sampling
@@ -54,11 +54,12 @@ def vdot_cell_bounds(system, ctrl_Ws, ctrl_bs, P, cells, half_width):
     # 2. closed-loop dynamics interval
     x_iv = IV(cells - half_width, cells + half_width)
     f_iv = system.dynamics_interval(x_iv, IV(u_lb, u_ub))
-    # 3. Vdot = <PᵀP x, f> interval dot product
+    # 3. Vdot = <PᵀP x, f> interval dot product.  g = PᵀP x needs the
+    # sign-split interval matvec: evaluating the two box corners
+    # under-covers whenever PᵀP has mixed-sign rows (trained P always
+    # does), which previously let a violated cell pass — see iv_dot.
     PtP = P.T @ P
-    g_lo = x_iv.lo @ PtP.T
-    g_hi = x_iv.hi @ PtP.T
-    g_iv = IV(jnp.minimum(g_lo, g_hi), jnp.maximum(g_lo, g_hi))
+    g_iv = iv_dot(x_iv, PtP)
     prod = g_iv * f_iv
     return jnp.sum(prod.lo, -1), jnp.sum(prod.hi, -1)
 
@@ -82,7 +83,10 @@ def certify_segway(
     P = jnp.asarray(model["P"])
     goal = jnp.zeros((1, 3))
     lya = LyaQuadratic(P, goal)
-    ctrl = NNController(NNControllerModule(), model["ctrl"])
+    # rebuild the controller at its TRAINED width (a default-width module
+    # against non-default checkpointed kernels fails restore)
+    hidden = int(model.get("config", {}).get("hidden", 32))
+    ctrl = NNController(NNControllerModule(hidden=hidden), model["ctrl"])
     Ws, bs = ctrl.dense_weights()
     Ws = [jnp.asarray(W) for W in Ws]
     bs = [jnp.asarray(b) for b in bs]
@@ -96,6 +100,12 @@ def certify_segway(
     )
     eta = reject_sampling(grid, lya, level_lb, level_ub)
     n_cells = len(eta)
+    if n_cells == 0:
+        # a certificate over zero states is vacuous, not a pass
+        raise ValueError(
+            f"no grid cell lands in the level band [{level_lb:.4f}, "
+            f"{level_ub:.4f}] at r={r}; refine the grid or widen the band"
+        )
 
     @jax.jit
     def chunk_ub(cells, valid):

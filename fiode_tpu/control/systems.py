@@ -78,17 +78,21 @@ class Segway:
     # -- closed-loop simulation ----------------------------------------------
 
     def simulate(self, x0, controller, ts, method="dopri5", rtol=1e-6,
-                 atol=1e-6):
+                 atol=1e-6, mode="while", max_steps=100_000):
         """Integrate the closed loop from a batch of starts.
 
         Returns (xs (T, N, 3), us (T, N, 1)) like the reference's
-        system.simulate (certify_segway.py:109)."""
+        system.simulate (certify_segway.py:109).  mode/max_steps are
+        exposed because the right trade-off is platform-dependent: 'while'
+        stops at the ~5k steps this solve actually needs but pays relay
+        round trips per predicate; 'scan' (with a tight max_steps) runs a
+        fixed trip count on-device."""
         def f(t, x, _):
             return self(x, controller(x, t))
 
         sol = odeint(
             f, jnp.asarray(x0), jnp.asarray(ts), method=method, rtol=rtol,
-            atol=atol, max_steps=100_000,
+            atol=atol, max_steps=max_steps, mode=mode,
         )
         xs = sol.ys
         us = jax.vmap(lambda x: controller(x, 0.0))(xs)

@@ -162,8 +162,14 @@ def train_segway(cfg: SegwayTrainConfig = SegwayTrainConfig(),
         loss, g = jax.value_and_grad(loss_fn)(params)
         up, opt_state = tx2.update(g, opt_state, params)
         params = optax.apply_updates(params, up)
-        worst = jnp.max(jnp.where(mask > 0, vdot_model(params, grid), -jnp.inf))
-        return params, opt_state, loss, worst
+        return params, opt_state, loss
+
+    @jax.jit
+    def worst_vdot(params):
+        # diagnostic only — a full extra grid forward, so computed at the
+        # logging cadence rather than inside every training step
+        mask = band_mask(params, grid)
+        return jnp.max(jnp.where(mask > 0, vdot_model(params, grid), -jnp.inf))
 
     best_loss, best_params = np.inf, train_params
     p2_start = 0
@@ -176,13 +182,14 @@ def train_segway(cfg: SegwayTrainConfig = SegwayTrainConfig(),
             print(f"[segway] resumed phase 2 at iter {p2_start}")
     for i in range(p2_start, cfg.barrier_iters):
         key, k = jax.random.split(key)
-        train_params, opt2, loss, worst = barrier_step(train_params, opt2, k)
+        train_params, opt2, loss = barrier_step(train_params, opt2, k)
         l = float(loss)
         if l < best_loss:
             best_loss = l
             best_params = jax.tree_util.tree_map(lambda a: a, train_params)
-            if verbose and i % 50 == 0:
-                print(f"[segway] iter {i}: loss={l:.5f} worst_vdot={float(worst):.5f}")
+        if verbose and i % 50 == 0:
+            print(f"[segway] iter {i}: loss={l:.5f} "
+                  f"worst_vdot={float(worst_vdot(train_params)):.5f}")
         if (resume_path and checkpoint_every
                 and (i + 1) % checkpoint_every == 0):
             save_pytree(resume_path, {

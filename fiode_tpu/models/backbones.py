@@ -160,4 +160,9 @@ def make_backbone(name: str, *, out_dim: int, act: str, mu, std) -> nn.Module:
         return PlainCNNBackbone(arch="6C2F", out_dim=out_dim, act=act, mu=mu, std=std)
     if name == "TinyMLP":
         return TinyMLPBackbone(out_dim=out_dim, mu=mu, std=std)
+    if name == "Identity":
+        # reference registry's Identity param_map: no feature extractor —
+        # NeuralODEClassifier(backbone=None) feeds flattened pixels to the
+        # dynamics input injection directly
+        return None
     raise ValueError(f"unknown backbone {name!r}")

@@ -178,8 +178,8 @@ class NeuralODEClassifier:
 
         sol = odeint(
             f, h0_pad, ts, (p, xc_pad),
-            method=method or self.method, rtol=rtol or self.rtol,
-            atol=atol or self.atol, max_steps=self.max_steps, mode=mode,
+            method=method or self.method, rtol=self.rtol if rtol is None else rtol,
+            atol=self.atol if atol is None else atol, max_steps=self.max_steps, mode=mode,
             error_weight=weight,
         )
         return OdeSolution(sol.ys[..., :n], sol.nfe, sol.n_accepted,
@@ -228,7 +228,7 @@ class NeuralODEClassifier:
             args = dict(dyn_params, __feats__=feats)
             ys = odeint_adjoint(
                 f, h0, ts, args,
-                method or self.method, rtol or self.rtol, atol or self.atol,
+                method or self.method, self.rtol if rtol is None else rtol, self.atol if atol is None else atol,
                 self.max_steps, True,
             )
             return OdeSolution(ys, jnp.zeros((), jnp.int32),
@@ -240,8 +240,8 @@ class NeuralODEClassifier:
         return odeint(
             f, h0, ts, dyn_params,
             method=method or self.method,
-            rtol=rtol or self.rtol,
-            atol=atol or self.atol,
+            rtol=self.rtol if rtol is None else rtol,
+            atol=self.atol if atol is None else atol,
             max_steps=self.max_steps,
             mode=mode,
         )

@@ -58,7 +58,10 @@ class DynBasicBlock(nn.Module):
 
 
 class DynBottleneck(nn.Module):
-    """Bottleneck-shaped RHS: 1x1 -> 3x3 -> 1x1 (NO residual add)."""
+    """Bottleneck-shaped RHS: 1x1 squeeze -> 3x3 -> 1x1 expand (NO residual
+    add).  As an ODE right-hand side dh/dt must match h's channel count, so
+    the final 1x1 expands back to ``features`` and the squeeze width is
+    ``features // expansion``."""
 
     features: int
     expansion: int = 4
@@ -67,9 +70,11 @@ class DynBottleneck(nn.Module):
     def __call__(self, h):
         x = jnp.transpose(h, (0, 2, 3, 1))
         c = self.features
-        x = nn.relu(nn.GroupNorm(num_groups=8)(_conv(c, k=1)(x)))
-        x = nn.relu(nn.GroupNorm(num_groups=8)(_conv(c)(x)))
-        x = nn.GroupNorm(num_groups=8)(_conv(c * self.expansion, k=1)(x))
+        w = max(c // self.expansion, 1)
+        groups = lambda ch: next(g for g in (8, 4, 2, 1) if ch % g == 0)
+        x = nn.relu(nn.GroupNorm(num_groups=groups(w))(_conv(w, k=1)(x)))
+        x = nn.relu(nn.GroupNorm(num_groups=groups(w))(_conv(w)(x)))
+        x = nn.GroupNorm(num_groups=groups(c))(_conv(c, k=1)(x))
         return jnp.transpose(x, (0, 3, 1, 2))
 
 

@@ -101,3 +101,17 @@ class IV(NamedTuple):
 def iv(lo, hi=None) -> IV:
     lo = jnp.asarray(lo)
     return IV(lo, lo if hi is None else jnp.asarray(hi))
+
+
+def iv_dot(x: IV, M) -> IV:
+    """Sound interval image of ``x @ M.T`` for a fixed matrix ``M``.
+
+    Sign-split linear-map interval: each output coordinate attains its
+    extremes at per-entry corners chosen by sign(M) — NOT at the two box
+    corners ``lo @ M.T`` / ``hi @ M.T``, whose span under-covers whenever a
+    row of ``M`` has mixed signs (e.g. row [2, -1]: true half-width 3r vs
+    corner span r)."""
+    M = jnp.asarray(M)
+    pos = jnp.maximum(M, 0.0)
+    neg = jnp.minimum(M, 0.0)
+    return IV(x.lo @ pos.T + x.hi @ neg.T, x.hi @ pos.T + x.lo @ neg.T)

@@ -112,6 +112,52 @@ class TestVdotBounds:
             assert bool(jnp.all(vd <= ub + 1e-4))
             assert bool(jnp.all(vd >= lb - 1e-4))
 
+    def test_cell_bound_sound_mixed_sign_P(self):
+        """A trained P always has mixed-sign PᵀP rows — the regime where
+        the old two-corner gradient interval under-covered and could
+        certify violated cells."""
+        key = jax.random.PRNGKey(7)
+        ctrl = NNController.create(key, 3, 1, 8)
+        Ws, bs = ctrl.dense_weights()
+        sys = Segway()
+        P = jnp.asarray([[1.2, -0.7, 0.3],
+                         [0.0, 0.9, -0.5],
+                         [0.2, 0.1, 1.1]])
+        cells = jax.random.uniform(
+            jax.random.PRNGKey(8), (8, 3), minval=-0.3, maxval=0.3
+        )
+        hw = 0.05
+        lb, ub = vdot_cell_bounds(sys, Ws, bs, P, cells, hw)
+        lya = LyaQuadratic(P, jnp.zeros((1, 3)))
+        # corner sweep: for the bilinear Vdot the adversarial states
+        # concentrate at cell corners
+        import itertools
+
+        for signs in itertools.product([-1.0, 1.0], repeat=3):
+            x = cells + hw * jnp.asarray(signs)
+            vd = lya.h_dot(x, sys(x, ctrl(x)))[:, 0]
+            assert bool(jnp.all(vd <= ub + 1e-4)), "upper bound violated"
+            assert bool(jnp.all(vd >= lb - 1e-4)), "lower bound violated"
+
+    def test_iv_dot_sound_and_tight_for_linear_maps(self):
+        from fiode_tpu.verify.interval import IV, iv_dot
+        import itertools
+
+        rng = np.random.default_rng(0)
+        M = rng.normal(size=(4, 3)).astype(np.float32)
+        lo = rng.normal(size=(5, 3)).astype(np.float32)
+        hi = lo + rng.uniform(0.1, 1.0, size=(5, 3)).astype(np.float32)
+        out = iv_dot(IV(jnp.asarray(lo), jnp.asarray(hi)), jnp.asarray(M))
+        # a linear map attains its extremes at box corners: the exact range
+        # is the corner min/max, and iv_dot must equal it
+        corners = np.stack([
+            np.where(np.asarray(s, bool), hi, lo)
+            for s in itertools.product([0, 1], repeat=3)
+        ])  # (8, 5, 3)
+        imgs = corners @ M.T  # (8, 5, 4)
+        np.testing.assert_allclose(np.asarray(out.lo), imgs.min(0), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(out.hi), imgs.max(0), rtol=1e-5)
+
 
 class TestEndToEnd:
     def test_segway_resume_matches_uninterrupted(self, tmp_path):

@@ -36,7 +36,9 @@ def main():
 
     import numpy as np
 
-    from fiode_tpu.experiment import _restore_params, build_trainer
+    from fiode_tpu.experiment import (
+        _load_cfg_dataset, _restore_params, build_model,
+    )
     from fiode_tpu.utils.config import compose
     from fiode_tpu.verify.certify import Certifier
     from fiode_tpu.verify.grid import enumerate_decision_boundary
@@ -47,13 +49,19 @@ def main():
         ["++module.init_fun.param_map.out_dim=10"],
         "configs/classification",
     )
-    tr = build_trainer(cfg, run_dir=str(run_dir))
-    params = _restore_params(cfg, tr.model, str(run_dir))
-    xs = tr.ds.test_x[args.start : args.end]
-    ys = tr.ds.test_y[args.start : args.end]
+    # model + dataset only: a full trainer would build optimizers and a
+    # MetricWriter that appends into the trained run dir as a side effect
+    # of this read-only demo
+    model = build_model(cfg)
+    ds = _load_cfg_dataset(cfg)
+    params = _restore_params(cfg, model, str(run_dir))
+    xs = ds.test_x[args.start : args.end]
+    ys = ds.test_y[args.start : args.end]
     grid = enumerate_decision_boundary(10, args.T)
 
-    plain = Certifier(tr.model, params, T=args.T, eps_input=36 / 255,
+    # the restored checkpoint trained 300 epochs with scale_nominal off at
+    # epoch 10 — the default scale_nominal=False matches the trained field
+    plain = Certifier(model, params, T=args.T, eps_input=36 / 255,
                       chunk=4096, grid=grid)
     t0 = time.time()
     res_p = plain.certify(xs, ys, method="crown", early_exit=False,
@@ -75,7 +83,7 @@ def main():
         "alpha_objective": args.alpha_objective,
     }
     if len(fail):
-        alpha = Certifier(tr.model, params, T=args.T, eps_input=36 / 255,
+        alpha = Certifier(model, params, T=args.T, eps_input=36 / 255,
                           chunk=4096, grid=grid,
                           alpha_iters=args.alpha_iters,
                           alpha_objective=args.alpha_objective)

@@ -29,7 +29,9 @@ def main():
     ap.add_argument("--h-sample", type=int, default=64,
                     help="Lyapunov h samples per image; 256 = full protocol "
                     "(reference README.md:27)")
-    ap.add_argument("--steps-per-call", type=int, default=2)
+    ap.add_argument("--steps-per-call", type=int, default=None,
+                    help="default 2; an explicit ++module.steps_per_call "
+                    "override is honored when this flag is absent")
     ap.add_argument("--synthetic-size", type=int, default=4096)
     ap.add_argument("--T", type=int, default=20)
     ap.add_argument("--certify-images", type=int, default=20)
@@ -78,7 +80,11 @@ def main():
         "configs/classification",
     )
     tr = build_trainer(cfg, run_dir=str(run_dir))
-    tr.cfg.steps_per_call = args.steps_per_call
+    if args.steps_per_call is not None:
+        tr.cfg.steps_per_call = args.steps_per_call
+    elif tr.cfg.steps_per_call == 1 and "steps_per_call" not in str(
+            args.override):
+        tr.cfg.steps_per_call = 2  # demo default (config default is 1)
     t0 = time.time()
     results["restored_checkpoint"] = bool(args.restore)
     if args.restore:
@@ -95,6 +101,12 @@ def main():
                 )
             except (json.JSONDecodeError, OSError):
                 pass
+        # a restored checkpoint came from an args.epochs-long run: set the
+        # final-phase scale_nominal (fit() tracks it; restore must too)
+        tr._phase_scale_nominal = bool(
+            tr.model.dynamics.scale_nominal
+            and args.epochs <= tr.cfg.epoch_off_scale
+        )
         print("[workflow] restored best checkpoint", flush=True)
     else:
         params = tr.fit(epochs=args.epochs, resume=args.resume)
@@ -112,8 +124,15 @@ def main():
     print(f"[workflow] grid T={args.T}: {len(grid):,} cells", flush=True)
 
     # ---- 3. certify (README.md:41/46) ---------------------------------------
+    # the scale_nominal of the FINAL trained phase (scaling turns off at
+    # epoch_off_scale): the certificate must bound the same field the
+    # model was left training — and Certifier._predict integrates with
+    # this same flag, keeping the clean check consistent
+    sn_final = tr._phase_scale_nominal
+    results["certify_scale_nominal"] = sn_final
     cert = Certifier(model=tr.model, params=params, T=args.T,
-                     eps_input=36 / 255, chunk=4096, grid=grid)
+                     eps_input=36 / 255, chunk=4096, grid=grid,
+                     scale_nominal=sn_final)
     n_img = args.certify_images
     t0 = time.time()
     res_c = cert.certify(tr.ds.test_x[:n_img], tr.ds.test_y[:n_img],
@@ -161,10 +180,15 @@ def main():
     print(f"[workflow] autoattack: {robust} "
           f"({results['attack_images_per_sec']:.2f} img/s)", flush=True)
 
-    # consistency: certified accuracy cannot exceed empirical robust accuracy
-    results["consistent"] = (
-        results["crown"]["certified_acc"]
-        <= 1.0 - robust["test_error_adv"] + 1e-9
+    # consistency: certified ⊆ empirically-robust, checked per image on the
+    # OVERLAP of the two evaluations (comparing aggregate rates over
+    # different image subsets can flag false inconsistencies)
+    robust_set = set(robust["robust_idx"])
+    overlap = min(n_img, robust["n_images"])
+    results["consistent"] = all(
+        i in robust_set
+        for i in results["crown"]["certified_idx"]
+        if i < overlap
     )
 
     (run_dir / "RESULTS.json").write_text(json.dumps(results, indent=2))

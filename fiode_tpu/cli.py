@@ -131,7 +131,9 @@ def main(argv=None):
         cfg = _compose(args, "certify")
         run_autoattack(
             cfg, run_dir=args.run_dir, max_images=args.max_images,
-            attacks=tuple(args.attacks.split(",")),
+            attacks=tuple(
+                a.strip() for a in args.attacks.split(",") if a.strip()
+            ),
             out_path=args.out,
         )
     elif args.cmd == "segway-train":

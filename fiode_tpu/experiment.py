@@ -143,7 +143,7 @@ def build_trainer(cfg: dict, run_dir: Optional[str] = None) -> LyapunovTrainer:
         fix_backbone=bool(m.get("fix_backbone", False)),
         batch_size=int(cfg.get("batch_size", 128)),
         val_batch_size=int(cfg.get("val_batch_size", 256)),
-        h_sample_size=int(m["h_sample_size"]),
+        h_sample_size=int(m.get("h_sample_size", 128)),
         h_dist_lim=float(m.get("h_dist_lim", 15.0)),
         act=m.get("act", "relu"),
         lya_cand=lya["target"],
@@ -157,7 +157,13 @@ def build_trainer(cfg: dict, run_dir: Optional[str] = None) -> LyapunovTrainer:
         epoch_off_scale=int(m.get("epoch_off_scale", 10)),
         train_ode=bool(m.get("train_ode", False)),
         train_ode_epoch=int(m.get("train_ode_epoch", 100)),
-        objective=m.get("objective", "lyapunov"),
+        # the registered module node spells the objective as target=
+        # (ODEModule -> ODELearning etc., utils/config.py:132-139); an
+        # explicit ++module.objective override still wins
+        objective=m.get("objective", {
+            "ODELearning": "ode",
+            "ClassicalLearning": "classical",
+        }.get(m.get("target"), "lyapunov")),
         adv_train=bool(m.get("adv_train", False)),
         val_adv=bool(m.get("val_adv", False)),
         eps=float(m.get("eps", 36 / 255)), norm=m.get("norm", "L2"),
@@ -228,6 +234,12 @@ def run_certify(cfg: dict, method: str = "crown", run_dir: str = ".",
     model = build_model(cfg)
     params = _restore_params(cfg, model, run_dir)
     ds = _load_cfg_dataset(cfg)
+    if grid is None and cfg.get("load_grid"):
+        # reuse a sample-grid artifact instead of re-enumerating
+        # (reference ++load_grid=True ++grid_name=... semantics)
+        from .utils.checkpoint import load_pytree
+
+        grid = load_pytree(cfg["grid_name"])
     start, end = int(cfg.get("start_ind", 0)), int(cfg.get("end_ind", -1))
     if end == -1:
         end = len(ds.test_x)
@@ -257,6 +269,10 @@ def run_certify(cfg: dict, method: str = "crown", run_dir: str = ".",
         mesh=mesh,
         **prec,
     )
+    if stream_out and not image_batch:
+        # a requested audit log implies the streamed sweep (dropping it
+        # silently would lose the log the CLI help promises)
+        image_batch = 10
     if image_batch:
         # protocol-style streamed sweep (certify_crown.py:122,161-172)
         res = cert.certify_stream(

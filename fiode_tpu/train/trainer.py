@@ -138,6 +138,12 @@ class LyapunovTrainer:
         self._build_optimizers()
         self._train_step = self._make_train_step()
         self._eval_step = self._make_eval_step()
+        # the scale_nominal of the current/last trained phase — the
+        # reference mutates the module attribute at epoch_off_scale
+        # (pl_modules.py:391-393); updated by fit(), consumed by
+        # evaluate()/test_autoattack() so post-training inference
+        # integrates the field that was actually trained
+        self._phase_scale_nominal = bool(model.dynamics.scale_nominal)
 
     # -- optimizers ----------------------------------------------------------
 
@@ -382,7 +388,7 @@ class LyapunovTrainer:
         cfg = self.cfg
         model = self.model
 
-        def predict_with_nfe(params, x):
+        def predict_with_nfe(params, x, sn):
             if cfg.objective == "classical":
                 # ClassicalLearning trains ONLY the backbone — validating
                 # through the (untrained) ODE solve would select
@@ -392,26 +398,32 @@ class LyapunovTrainer:
                     jax.nn.softmax(model.features(params, x)),
                     jnp.zeros((), jnp.int32),
                 )
-            sol = model.solve(params, x, mode="while")
+            sol = model.solve(params, x, mode="while", scale_nominal=sn)
             return (
                 model.output_fn(sol.ys[-1], params.get("output")),
                 sol.nfe,
             )
 
-        def predict(params, x):
-            return predict_with_nfe(params, x)[0]
+        def predict(params, x, sn):
+            return predict_with_nfe(params, x, sn)[0]
 
-        def predict_diff(params, x):
+        def predict_diff(params, x, sn):
             if cfg.objective == "classical":
                 return jax.nn.softmax(model.features(params, x))
             return model.output_fn(
-                model.solve(params, x, mode="scan").ys[-1],
+                model.solve(params, x, mode="scan", scale_nominal=sn).ys[-1],
                 params.get("output"),
             )
 
-        @jax.jit
-        def eval_step(params, key, x, y):
-            probs, nfe = predict_with_nfe(params, x)
+        # scale_nominal is the CURRENT training phase's value: the
+        # reference mutates dyn_fun.scale_nominal permanently at
+        # epoch_off_scale (pl_modules.py:391-393), so validation/test must
+        # integrate the same field the phase trains — not the flax
+        # module's static constructor flag
+        @functools.partial(jax.jit, static_argnames=("scale_nominal",))
+        def eval_step(params, key, x, y, *, scale_nominal):
+            sn = scale_nominal
+            probs, nfe = predict_with_nfe(params, x, sn)
             err = jnp.mean((jnp.argmax(probs, -1) != y).astype(jnp.float32))
             if cfg.simplex:
                 logp = jnp.log(jnp.clip(probs, 1e-12))
@@ -426,7 +438,7 @@ class LyapunovTrainer:
                 # 5-step PGD on cross-entropy of the ODE solution
                 # (torchattacks PGD/PGDL2; pl_modules.py:191-199)
                 def ce(xa):
-                    p = predict_diff(params, xa)
+                    p = predict_diff(params, xa, sn)
                     p_y = jnp.take_along_axis(
                         jnp.clip(p, 1e-12), y[:, None], axis=-1
                     )[:, 0]
@@ -436,7 +448,7 @@ class LyapunovTrainer:
                     ce, x, key, eps=cfg.eps, norm=cfg.norm, steps=5,
                     step_size=2.5 * cfg.eps / 10,
                 )
-                probs_adv = predict(params, x_adv)
+                probs_adv = predict(params, x_adv, sn)
                 err_adv = jnp.mean(
                     (jnp.argmax(probs_adv, -1) != y).astype(jnp.float32)
                 )
@@ -549,6 +561,7 @@ class LyapunovTrainer:
                 self.model.dynamics.scale_nominal
                 and epoch < cfg.epoch_off_scale
             )
+            self._phase_scale_nominal = bool(scale_nominal)
             mixer = jnp.asarray(self._epoch_mixer(epoch))
             ode_portion = jnp.asarray(self._ode_portion(epoch), jnp.float32)
 
@@ -674,7 +687,10 @@ class LyapunovTrainer:
             )
             x = jnp.asarray(self.ds.val_x[:16])
             traj = jax.jit(
-                lambda p, x: self.model.trajectory(p, x, n_points=50)
+                lambda p, x: self.model.trajectory(
+                    p, x, n_points=50,
+                    scale_nominal=self._phase_scale_nominal,
+                )
             )(params, x)
             plot_traj_on_3_simplex(
                 np.asarray(traj), np.asarray(y),
@@ -710,7 +726,10 @@ class LyapunovTrainer:
         @jax.jit
         def logits_fn(x):
             return model.output_fn(
-                model.solve(params, x, mode="scan").ys[-1],
+                model.solve(
+                    params, x, mode="scan",
+                    scale_nominal=self._phase_scale_nominal,
+                ).ys[-1],
                 params.get("output"),
             )
 
@@ -727,6 +746,7 @@ class LyapunovTrainer:
         if max_batches:
             n_batches = min(n_batches, max_batches)
         robust, clean, total = 0, 0, 0
+        rob_masks = []
         for i in range(n_batches):
             bx = jnp.asarray(xs[i * bs : (i + 1) * bs])
             by = jnp.asarray(ys[i * bs : (i + 1) * bs])
@@ -736,13 +756,20 @@ class LyapunovTrainer:
             clean += int(jnp.sum(pred == by))
             robust += int(jnp.sum(rob))
             total += len(bx)
+            rob_masks.append(np.asarray(rob))
         return {
+            # per-image audit: consistency checks (certified ⊆ robust) must
+            # compare on the SAME image subset, not aggregate rates
+            "robust_idx": np.nonzero(np.concatenate(rob_masks))[0].tolist(),
             "test_error_clean": 1.0 - clean / total,
             "test_error_adv": 1.0 - robust / total,
             "n_images": total,
         }
 
-    def evaluate(self, params, key, split: str = "val", max_batches=None):
+    def evaluate(self, params, key, split: str = "val", max_batches=None,
+                 scale_nominal=None):
+        if scale_nominal is None:
+            scale_nominal = self._phase_scale_nominal
         xs = getattr(self.ds, f"{split}_x")
         ys = getattr(self.ds, f"{split}_y")
         bs = self.cfg.val_batch_size
@@ -757,7 +784,8 @@ class LyapunovTrainer:
             bx = jnp.asarray(xs[i * bs : (i + 1) * bs])
             by = jnp.asarray(ys[i * bs : (i + 1) * bs])
             key, k = jax.random.split(key)
-            m = self._eval_step(params, k, bx, by)
+            m = self._eval_step(params, k, bx, by,
+                                scale_nominal=bool(scale_nominal))
             w = len(bx)
             m = {k_: float(v) * w for k_, v in m.items()}
             totals = m if totals is None else {

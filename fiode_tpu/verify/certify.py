@@ -297,9 +297,18 @@ class Certifier:
         self._lips_chunk = self._make_lips_chunk()
         # model.predict passes params.get("output") (output='linear' needs
         # it) and uses the bounded-scan integrator (while-loop predicates
-        # cost a host round trip per step on relay-attached TPUs)
+        # cost a host round trip per step on relay-attached TPUs).  The
+        # clean check must integrate the SAME field the certificate bounds:
+        # thread this certifier's scale_nominal rather than the flax
+        # module's static constructor flag (which stays True on models
+        # whose training turned scaling off at epoch_off_scale).
         self._predict = jax.jit(
-            lambda p, x: jnp.argmax(self.model.predict(p, x, mode="scan"), -1)
+            lambda p, x: jnp.argmax(
+                self.model.predict(
+                    p, x, mode="scan", scale_nominal=self.scale_nominal
+                ),
+                -1,
+            )
         )
         self._features = jax.jit(self.model.features)
 

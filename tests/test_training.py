@@ -140,6 +140,23 @@ class TestTrainer:
         tr = make_trainer(tmp_path, adv_train=True, val_adv=True)
         tr.fit(epochs=1)
 
+    def test_eval_follows_training_phase_scale_nominal(self, tmp_path):
+        """After epoch_off_scale, validation must integrate the UNRESCALED
+        field the phase trains (the reference mutates
+        dyn_fun.scale_nominal permanently, pl_modules.py:391-393) — not the
+        flax module's static constructor flag."""
+        tr = make_trainer(tmp_path, epoch_off_scale=0)  # off from epoch 0
+        params = tr.fit(epochs=1)
+        assert tr._phase_scale_nominal is False
+        key = jax.random.PRNGKey(5)
+        default = tr.evaluate(params, key)
+        off = tr.evaluate(params, key, scale_nominal=False)
+        on = tr.evaluate(params, key, scale_nominal=True)
+        assert default["validation_loss"] == off["validation_loss"]
+        assert on["validation_loss"] != off["validation_loss"], (
+            "rescaled and unrescaled fields should not evaluate identically"
+        )
+
     def test_best_watermark_survives_reopen(self, tmp_path):
         """A resumed run (fresh CheckpointManager on an existing dir) must
         not let a worse epoch overwrite the 'best' checkpoint."""
@@ -190,7 +207,7 @@ class TestTrainer:
         tr.cfg = dataclasses.replace(tr.cfg, val_batch_size=bs)
         seen = []
 
-        def fake_eval_step(params, k, bx, by):
+        def fake_eval_step(params, k, bx, by, **kw):
             seen.append(int(bx.shape[0]))
             return {"batch_len": jnp.float32(bx.shape[0])}
 

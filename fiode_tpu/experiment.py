@@ -8,6 +8,7 @@ segway {train,certify}.
 """
 from __future__ import annotations
 
+import dataclasses
 import time
 from pathlib import Path
 from typing import Optional
@@ -265,6 +266,7 @@ def run_certify(cfg: dict, method: str = "crown", run_dir: str = ".",
         model, params, T=int(cfg.get("T", 40)),
         eps_input=float(cfg.get("eps", 36 / 255)),
         scale_nominal=bool(cfg["module"]["dynamics"]["scale_nominal"]),
+        chunk=int(cfg.get("chunk", 8192)),
         grid=grid,
         mesh=mesh,
         **prec,
@@ -284,6 +286,38 @@ def run_certify(cfg: dict, method: str = "crown", run_dir: str = ".",
             ds.test_x[start:end], ds.test_y[start:end], method=method,
             progress_every=10,
         )
+    refine_rounds = int(cfg.get("refine_rounds", 0))
+    if refine_rounds > 0 and method == "crown":
+        # BaB cell refinement over clean-but-uncertified images
+        # (capability beyond the reference; verify/refine.py)
+        from .verify.refine import refine_uncertified
+
+        new_cert, rstats = refine_uncertified(
+            cert, ds.test_x[start:end], ds.test_y[start:end],
+            res.certified, clean=res.clean, chunk=cert.chunk,
+            max_rounds=refine_rounds,
+            frontier_cap=int(cfg.get("refine_frontier_cap", 1 << 20)),
+            box_budget=int(cfg.get("refine_box_budget", 64_000_000)),
+            collect_cap=int(cfg.get("refine_collect_cap", 4_000_000)),
+            progress_every=1,
+        )
+        rec = int(new_cert.sum() - res.certified.sum())
+        print(f"[refine] recovered {rec} of "
+              f"{int((res.clean & ~res.certified).sum())} uncertified "
+              f"(rounds<={refine_rounds})")
+        res.certified = new_cert
+        if stream_out:
+            import json
+
+            with open(stream_out + ".refine.json", "w") as fh:
+                json.dump({
+                    "refine_rounds": refine_rounds,
+                    "recovered": rec,
+                    "certified_idx": sorted(
+                        (start + np.nonzero(new_cert)[0]).tolist()
+                    ),
+                    "stats": [dataclasses.asdict(s) for s in rstats],
+                }, fh, indent=1)
     print(
         f"[{method}] range {start}:{end} clean={res.clean_acc:.4f} "
         f"certified={res.certified_acc:.4f} "

@@ -13,3 +13,4 @@ from .ibp_qp import (
     worst_case_vdot,
 )
 from .interval import IV, iv
+from .refine import RefineStats, refine_uncertified

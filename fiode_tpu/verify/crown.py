@@ -78,7 +78,12 @@ def _backward_from(
     if layer_idx == 1:
         # z1 itself: exact affine in eta
         center = jnp.einsum("oi,ni->no", W, eta0) + b + x_bias
-        radius = eps * jnp.sum(jnp.abs(W), axis=-1)
+        if jnp.ndim(eps) == 0:
+            radius = eps * jnp.sum(jnp.abs(W), axis=-1)
+        else:
+            # per-dim box half-widths (N, n) — the BaB refinement's
+            # anisotropic sub-boxes (verify/refine.py)
+            radius = jnp.einsum("oi,ni->no", jnp.abs(W), eps)
         return center - radius, center + radius
 
     if layer_idx == 2 and out_dim >= Ws[0].shape[1]:
@@ -110,16 +115,14 @@ def _backward_from(
         D = jnp.einsum("oi,nki->nko", W_abs, Tdiff)
         Lu_t = 0.5 * (S + D)  # (N, k, out)
         Ll_t = 0.5 * (S - D)
-        ub = (
-            jnp.einsum("nko,nk->no", Lu_t, eta0)
-            + cu
-            + eps * jnp.sum(jnp.abs(Lu_t), 1)
-        )
-        lb = (
-            jnp.einsum("nko,nk->no", Ll_t, eta0)
-            + cl
-            - eps * jnp.sum(jnp.abs(Ll_t), 1)
-        )
+        if jnp.ndim(eps) == 0:
+            r_u = eps * jnp.sum(jnp.abs(Lu_t), 1)
+            r_l = eps * jnp.sum(jnp.abs(Ll_t), 1)
+        else:
+            r_u = jnp.einsum("nko,nk->no", jnp.abs(Lu_t), eps)
+            r_l = jnp.einsum("nko,nk->no", jnp.abs(Ll_t), eps)
+        ub = jnp.einsum("nko,nk->no", Lu_t, eta0) + cu + r_u
+        lb = jnp.einsum("nko,nk->no", Ll_t, eta0) + cl - r_l
         return lb, ub
 
     # upper/lower linear forms: out <= Lu @ a_{j} + cu  (a_j = relu(z_j))
@@ -157,8 +160,14 @@ def _backward_from(
         Ll = jnp.einsum("noi,ik->nok", Ll, Wj)
 
     # concretise:  out <= Lu eta + cu  over the Linf box around eta0
-    ub = jnp.einsum("nok,nk->no", Lu, eta0) + cu + eps * jnp.sum(jnp.abs(Lu), -1)
-    lb = jnp.einsum("nok,nk->no", Ll, eta0) + cl - eps * jnp.sum(jnp.abs(Ll), -1)
+    if jnp.ndim(eps) == 0:
+        r_u = eps * jnp.sum(jnp.abs(Lu), -1)
+        r_l = eps * jnp.sum(jnp.abs(Ll), -1)
+    else:
+        r_u = jnp.einsum("nok,nk->no", jnp.abs(Lu), eps)
+        r_l = jnp.einsum("nok,nk->no", jnp.abs(Ll), eps)
+    ub = jnp.einsum("nok,nk->no", Lu, eta0) + cu + r_u
+    lb = jnp.einsum("nok,nk->no", Ll, eta0) + cl - r_l
     return lb, ub
 
 
@@ -177,7 +186,9 @@ def crown_mlp_bounds(
         FI-ODE dynamics: [W1, W2, W3] with the U x contribution passed as
         ``x_bias`` added to layer 1's bias.
       eta0: (N, n) box centers (grid cells).
-      eps:  Linf half-width (1/T).
+      eps:  box half-widths — a scalar (the uniform 1/T grid cell) or a
+        per-row per-dim (N, n) array (the BaB refinement's anisotropic
+        sub-boxes, verify/refine.py).
       x_bias: (m1,) or (N, m1) static-input contribution U @ x_feat.
       alphas: optional alpha-CROWN lower-slope overrides, one (N, m_j)
         array in [0, 1] per hidden layer.  Sound for ANY such value —

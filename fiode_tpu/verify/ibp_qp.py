@@ -147,15 +147,25 @@ def ibp_cbf_qp_individual(
 def worst_case_vdot(eta, eps, f_lb, f_ub, label):
     """Upper bound of Vdot for V = 1 + max_wrong - p_y over the cell.
 
-    runner-up set: eta_j >= max_wrong - 2 eps, j != label
+    runner-up set: every wrong coordinate that could be the argmax
+    somewhere in the box — eta_j + eps_j >= max_wrong_k (eta_k - eps_k)
     (the runner-up may change under perturbation; certify_crown.py:143-148).
+    With the uniform scalar eps this reduces to the reference's
+    eta_j >= max_wrong - 2 eps form (kept verbatim so scalar-eps
+    certificates stay bit-identical); per-dim (N, n) eps uses the general
+    form for the BaB refinement's anisotropic sub-boxes.
     Vdot_ub = -f_label^lb + max_{runner-up} f^ub (certify_crown.py:29-34).
     """
     n = eta.shape[-1]
     onehot = jax.nn.one_hot(label, n, dtype=bool)
-    wrong = jnp.where(onehot, -jnp.inf, eta)
-    max_wrong = jnp.max(wrong, axis=-1, keepdims=True)
-    runner_up = (eta >= max_wrong - 2.0 * eps) & ~onehot
+    if jnp.ndim(eps) == 0:
+        wrong = jnp.where(onehot, -jnp.inf, eta)
+        max_wrong = jnp.max(wrong, axis=-1, keepdims=True)
+        runner_up = (eta >= max_wrong - 2.0 * eps) & ~onehot
+    else:
+        wrong_lo = jnp.where(onehot, -jnp.inf, eta - eps)
+        max_lo = jnp.max(wrong_lo, axis=-1, keepdims=True)
+        runner_up = (eta + eps >= max_lo) & ~onehot
     f_y_lb = jnp.sum(jnp.where(onehot, f_lb, 0.0), axis=-1)
     f_wrong_ub = jnp.max(jnp.where(runner_up, f_ub, -jnp.inf), axis=-1)
     return -f_y_lb + f_wrong_ub

@@ -45,6 +45,15 @@ class TestExperimentE2E:
                             max_images=2)
         assert res_c.clean.shape == (2,)
 
+        # BaB refinement through the same entry point: certificates may
+        # only be gained (verify/refine.py; ++refine_rounds on the CLI)
+        res_r = run_certify(
+            dict(cert_cfg, refine_rounds=3, refine_box_budget=3000,
+                 chunk=64),
+            method="crown", run_dir=run_dir, max_images=2,
+        )
+        assert (~res_c.certified | res_r.certified).all()
+
         # same entry point on a 2-D (img x cell) mesh: identical verdicts
         res_m = run_certify(dict(cert_cfg, mesh_shape=[2, 4]),
                             method="crown", run_dir=run_dir, max_images=2)

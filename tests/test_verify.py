@@ -525,3 +525,136 @@ class TestCertifierEndToEnd:
         np.testing.assert_array_equal(
             res_ee.larger_T_certified, res_full.larger_T_certified
         )
+
+
+class TestRefinement:
+    """BaB cell refinement (verify/refine.py) — vector-eps bound paths,
+    frontier mechanics on an analytic bound, and end-to-end soundness
+    containment on a tiny model (capability beyond the reference, which
+    stops at the one-shot CROWN sweep, certify_crown.py:149-153)."""
+
+    def _rand_mlp(self, key, n=4, m=16):
+        ks = jax.random.split(key, 6)
+        Ws = [
+            jax.random.normal(ks[0], (m, n)) * 0.5,
+            jax.random.normal(ks[1], (m, m)) * 0.3,
+            jax.random.normal(ks[2], (n, m)) * 0.5,
+        ]
+        bs = [
+            jax.random.normal(ks[3], (m,)) * 0.1,
+            jax.random.normal(ks[4], (m,)) * 0.1,
+            jax.random.normal(ks[5], (n,)) * 0.1,
+        ]
+        return Ws, bs
+
+    def test_vector_eps_matches_scalar_crown(self):
+        Ws, bs = self._rand_mlp(jax.random.PRNGKey(0))
+        eta = jax.random.uniform(jax.random.PRNGKey(1), (32, 4))
+        xb = jax.random.normal(jax.random.PRNGKey(2), (16,))
+        lb_s, ub_s = crown_mlp_bounds(Ws, bs, eta, 0.05, xb)
+        eps_v = jnp.full((32, 4), 0.05)
+        lb_v, ub_v = crown_mlp_bounds(Ws, bs, eta, eps_v, xb)
+        np.testing.assert_allclose(lb_s, lb_v, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(ub_s, ub_v, rtol=1e-5, atol=1e-6)
+
+    def test_vector_eps_crown_sound_and_anisotropic(self):
+        # bounds with per-dim widths must contain sampled values from the
+        # anisotropic box, and tighten when one dim's width shrinks
+        Ws, bs = self._rand_mlp(jax.random.PRNGKey(3))
+        eta = jax.random.uniform(jax.random.PRNGKey(4), (8, 4))
+        xb = jax.random.normal(jax.random.PRNGKey(5), (16,))
+        eps_v = jnp.asarray(
+            np.tile([0.08, 0.02, 0.05, 0.01], (8, 1)).astype(np.float32)
+        )
+        lb, ub = crown_mlp_bounds(Ws, bs, eta, eps_v, xb)
+
+        def fwd(e):
+            z = e @ Ws[0].T + bs[0] + xb
+            z = jax.nn.relu(z) @ Ws[1].T + bs[1]
+            return jax.nn.relu(z) @ Ws[2].T + bs[2]
+
+        u = jax.random.uniform(jax.random.PRNGKey(6), (64, 8, 4)) * 2 - 1
+        pts = eta[None] + u * eps_v[None]
+        vals = jax.vmap(fwd)(pts.reshape(-1, 4).reshape(64 * 8, 4))
+        vals = vals.reshape(64, 8, 4)
+        assert bool((vals <= ub[None] + 1e-5).all())
+        assert bool((vals >= lb[None] - 1e-5).all())
+        # shrinking dim 0's width can only tighten
+        eps_t = eps_v.at[:, 0].set(0.02)
+        lb_t, ub_t = crown_mlp_bounds(Ws, bs, eta, eps_t, xb)
+        assert bool((ub_t <= ub + 1e-6).all())
+        assert bool((lb_t >= lb - 1e-6).all())
+
+    def test_worst_case_vdot_vector_eps(self):
+        eta = jnp.asarray([[0.3, 0.3, 0.2, 0.2]])
+        f_lb = jnp.asarray([[-1.0, -2.0, -3.0, -4.0]])
+        f_ub = jnp.asarray([[1.0, 2.0, 3.0, 4.0]])
+        lab = jnp.asarray([0])
+        # constant vector == scalar semantics
+        for e in (0.06, 0.01):
+            v_s = float(worst_case_vdot(eta, e, f_lb, f_ub, lab)[0])
+            v_v = float(worst_case_vdot(
+                eta, jnp.full((1, 4), e), f_lb, f_ub, lab)[0])
+            assert v_v == pytest.approx(v_s)
+        # anisotropic: wide coord 3 joins the runner-up set, narrow stays out
+        eps_v = jnp.asarray([[0.0, 0.001, 0.001, 0.12]])
+        v = float(worst_case_vdot(eta, eps_v, f_lb, f_ub, lab)[0])
+        assert v == pytest.approx(1.0 + 4.0)  # 0.2+0.12 >= 0.3-0.001
+        eps_n = jnp.asarray([[0.0, 0.001, 0.001, 0.01]])
+        v = float(worst_case_vdot(eta, eps_n, f_lb, f_ub, lab)[0])
+        assert v == pytest.approx(1.0 + 2.0)  # 0.2+0.01 < 0.3-0.001
+
+    def test_bab_mechanics_on_analytic_bound(self):
+        # analytic "bound": val = sum(eps) - 0.3 (loose for wide boxes,
+        # exactly refinable) -> BaB must close it; val = sum(eps) + 0.1
+        # can never close -> budget trip, not an infinite loop
+        from fiode_tpu.verify.refine import _bab
+
+        def fake_step(c, e, xb, lab):
+            vals = jnp.sum(e, -1) - 0.3
+            grads = jnp.ones_like(e)
+            return vals, grads
+
+        centers = np.zeros((3, 4), np.float32)
+        ok, rounds, boxes, gave = _bab(
+            fake_step, None, 0, centers, 0.2, 4, chunk=8, max_rounds=30,
+            frontier_cap=1 << 16, box_budget=1 << 20,
+        )
+        assert ok and gave == ""
+        # sum(eps)=0.8 must halve dims until < 0.3: reachable, few rounds
+        assert rounds < 20
+
+        def fake_step_hopeless(c, e, xb, lab):
+            return jnp.sum(e, -1) + 0.1, jnp.ones_like(e)
+
+        ok, rounds, boxes, gave = _bab(
+            fake_step_hopeless, None, 0, centers, 0.2, 4, chunk=8,
+            max_rounds=10, frontier_cap=1 << 12, box_budget=1 << 16,
+        )
+        assert not ok and gave in ("rounds", "frontier_cap", "budget")
+
+    def test_refine_sound_and_only_adds(self, tmp_path):
+        # refined certificates must stay inside the exact-grid (larger-T)
+        # certified set and never drop an image plain CROWN certified
+        from fiode_tpu.verify.refine import refine_uncertified
+
+        maker = TestCertifierEndToEnd()
+        model, params, x = maker._make(tmp_path)
+        y = np.asarray([0, 1, 2, 0, 1, 2])
+        cert = Certifier(model, params, T=8, eps_input=0.1, chunk=64)
+        res_c = cert.certify(np.asarray(x), y, method="crown",
+                             early_exit=False)
+        res_l = cert.certify(np.asarray(x), y, method="lipschitz",
+                             early_exit=False)
+        new_cert, stats = refine_uncertified(
+            cert, np.asarray(x), y, res_c.certified, clean=res_c.clean,
+            chunk=64, superchunk=4, max_rounds=6, frontier_cap=4096,
+            box_budget=20000,
+        )
+        assert (~res_c.certified | new_cert).all(), "refinement lost one"
+        assert (~new_cert | res_l.larger_T_certified).all(), (
+            "refinement certified an image with exact grid violations"
+        )
+        assert len(stats) == int((res_c.clean & ~res_c.certified).sum())
+        for s in stats:
+            assert s.certified == bool(new_cert[s.image])

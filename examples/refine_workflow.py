@@ -1,0 +1,109 @@
+"""BaB-refine the uncertified images of a completed CROWN sweep.
+
+Reads a ``certify_stream`` summary (the committed full-test-set sweep) for
+the already-certified set, runs the branch-and-bound cell refinement
+(fiode_tpu/verify/refine.py) over every clean-but-uncertified image, and
+writes ``<run-dir>/refine_full.json`` with per-image stats and the upgraded
+certified set.  The refinement re-sweeps each candidate image's full grid
+itself (it does not trust the summary's verdicts), so the output is a
+self-contained certificate for every image it flips.
+
+Usage:
+  python examples/refine_workflow.py [--run-dir run_data/certified_full]
+      [--summary certify_stream_full.summary.json] [--end 512]
+      [--rounds 40] [--out refine_full.json]
+
+The reference has no counterpart: robustness/certify_crown.py:149-153
+abandons an image at the first positive-bound cell.
+"""
+import argparse
+import dataclasses
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--run-dir", default="run_data/certified_full")
+    ap.add_argument("--summary", default="certify_stream_full.summary.json")
+    ap.add_argument("--config-name", default="cifar_certify.yaml")
+    ap.add_argument("--end", type=int, default=512)
+    ap.add_argument("--rounds", type=int, default=40)
+    ap.add_argument("--collect-cap", type=int, default=4_000_000)
+    ap.add_argument("--box-budget", type=int, default=64_000_000)
+    ap.add_argument("--frontier-cap", type=int, default=1 << 20)
+    ap.add_argument("--out", default="refine_full.json")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from fiode_tpu.experiment import (
+        _load_cfg_dataset,
+        _restore_params,
+        build_model,
+    )
+    from fiode_tpu.utils.config import compose
+    from fiode_tpu.verify.certify import Certifier
+    from fiode_tpu.verify.refine import refine_uncertified
+
+    run_dir = Path(args.run_dir)
+    summary = json.loads((run_dir / args.summary).read_text())
+    cfg = compose(args.config_name, [], "configs/certify")
+    model = build_model(cfg)
+    params = _restore_params(cfg, model, str(run_dir))
+    ds = _load_cfg_dataset(cfg)
+    end = min(args.end, summary["index_max"] + 1, len(ds.test_x))
+
+    certified = np.zeros(end, bool)
+    certified[[i for i in summary["certified_idx"] if i < end]] = True
+    cert = Certifier(
+        model, params, T=int(cfg.get("T", 40)),
+        eps_input=float(cfg.get("eps", 36 / 255)),
+        scale_nominal=bool(cfg["module"]["dynamics"]["scale_nominal"]),
+    )
+    print(
+        f"refining {int((~certified).sum())} uncertified of {end} images "
+        f"(T={cert.T}, kappa={cert.kappa:.4f}, "
+        f"precision={cert.matmul_precision}, rounds<={args.rounds})",
+        flush=True,
+    )
+    t0 = time.time()
+    new_cert, stats = refine_uncertified(
+        cert, ds.test_x[:end], ds.test_y[:end], certified,
+        max_rounds=args.rounds, collect_cap=args.collect_cap,
+        box_budget=args.box_budget, frontier_cap=args.frontier_cap,
+        progress_every=1,
+    )
+    out = {
+        "base_summary": args.summary,
+        "n_images": end,
+        "matmul_precision": cert.matmul_precision,
+        "refine_rounds": args.rounds,
+        "box_budget": args.box_budget,
+        "collect_cap": args.collect_cap,
+        "base_certified": int(certified.sum()),
+        "certified": int(new_cert.sum()),
+        "recovered": int(new_cert.sum() - certified.sum()),
+        "certified_acc": float(new_cert.mean()),
+        "recovered_idx": sorted(
+            np.nonzero(new_cert & ~certified)[0].tolist()
+        ),
+        "certified_idx": sorted(np.nonzero(new_cert)[0].tolist()),
+        "seconds": time.time() - t0,
+        "stats": [dataclasses.asdict(s) for s in stats],
+    }
+    (run_dir / args.out).write_text(json.dumps(out, indent=1))
+    print(
+        f"certified {out['base_certified']} -> {out['certified']} "
+        f"(+{out['recovered']}) of {end} "
+        f"[{out['certified_acc']:.4f}] in {out['seconds']:.0f}s "
+        f"-> {run_dir / args.out}",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -184,6 +184,8 @@ def refine_uncertified(
     certified = np.asarray(certified).copy()
     labels = np.asarray(labels)
     n = cert.n
+    if len(labels) == 0:
+        return certified, []
     if clean is None:
         clean = np.asarray(
             cert._predict(cert.params, jnp.asarray(images))

@@ -52,14 +52,15 @@ class RefineStats:
 
 
 def _kernels(cert):
-    """Build the two jitted kernels for one Certifier's refinement pass.
+    """Build the jitted kernels for one Certifier's refinement pass.
 
     ``sweep_fn`` re-evaluates base cells at the uniform scalar eps — the
     exact per-cell quantity whose running max the main sweep reduces —
     returning per-cell values so violated cells can be located.
-    ``step_fn`` bounds a frontier of anisotropic boxes and returns values
-    + half-width gradients for the split heuristic.  Both take the image's
-    x_bias as a traced argument so one compile serves every image.
+    ``box_vals_fn`` bounds a frontier of anisotropic boxes; ``grad_fn``
+    returns the half-width gradients for the split heuristic (run only on
+    boxes that stayed open).  All take the image's x_bias as a traced
+    argument so one compile serves every image.
     """
     from .crown import crown_mlp_bounds
     from .ibp_qp import ibp_cbf_qp, ibp_sigmoid, worst_case_vdot
@@ -68,6 +69,22 @@ def _kernels(cert):
     bs = [jnp.asarray(b) for b in cert.bs]
     a1, a2, s1 = cert.alpha_1, cert.alpha_2, cert.sigma_1
     kappa, eps0 = cert.kappa, cert.eps
+
+    # SPMD: rows (cells / frontier boxes) are embarrassingly parallel, so
+    # a Certifier mesh shards them over its cell axis; GSPMD propagates the
+    # operand placement through the jitted kernels, no kernel changes
+    if cert.mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        names = cert.mesh.axis_names
+        cell_ax = "cell" if "cell" in names else names[0]
+
+        def place_rows(a, dim):
+            spec = [None] * a.ndim
+            spec[dim] = cell_ax
+            return jax.device_put(a, NamedSharding(cert.mesh, P(*spec)))
+    else:
+        place_rows = lambda a, dim: a
 
     def val(eta_l, eps, x_bias, label):
         # eta_l is in label space (columns 0 <-> label swapped by the
@@ -93,20 +110,48 @@ def _kernels(cert):
         return jax.lax.map(body, etas_l)
 
     @jax.jit
-    def step_fn(eta_l, eps, x_bias, label):  # (C, n), (C, n) boxes
+    def box_vals_fn(eta_l, eps, x_bias, label):  # (C, n), (C, n) boxes
+        with jax.default_matmul_precision(cert.matmul_precision):
+            return val(eta_l, eps, x_bias, label)
+
+    # the backward pass costs ~2x the forward: run it only on boxes that
+    # stayed open (they need a split dim), not on the whole frontier
+    @jax.jit
+    def grad_fn(eta_l, eps, x_bias, label):
         with jax.default_matmul_precision(cert.matmul_precision):
             vals, vjp = jax.vjp(lambda e: val(eta_l, e, x_bias, label), eps)
             (g,) = vjp(jnp.ones_like(vals))
-            return vals, g
+            return g
 
-    return sweep_fn, step_fn
+    return sweep_fn, box_vals_fn, grad_fn, place_rows
 
 
-def _bab(step_fn, x_bias, label, centers, eps0, n, *, chunk, max_rounds,
-         frontier_cap, box_budget):
+def _bab(box_vals_fn, grad_fn, x_bias, label, centers, eps0, n, *, chunk,
+         max_rounds, frontier_cap, box_budget,
+         place_rows=lambda a, dim: a):
     """Frontier BaB over one image's violated cells.
 
     Returns (closed, rounds, boxes_evaluated, gave_up)."""
+
+    def chunked(fn, cs, es, out_dims):
+        out = np.empty((len(cs),) + out_dims, np.float32)
+        for i in range(0, len(cs), chunk):
+            c = cs[i : i + chunk]
+            e = es[i : i + chunk]
+            npad = len(c)
+            if npad < chunk:  # pad to the static kernel shape
+                c = np.concatenate([c, np.zeros((chunk - npad, n), c.dtype)])
+                e = np.concatenate(
+                    [e, np.full((chunk - npad, n), eps0, e.dtype)]
+                )
+            r = fn(
+                place_rows(jnp.asarray(c), 0),
+                place_rows(jnp.asarray(e), 0),
+                x_bias, label,
+            )
+            out[i : i + npad] = np.asarray(r)[:npad]
+        return out
+
     fc = centers.astype(np.float32)
     fe = np.full_like(fc, eps0)
     rounds = 0
@@ -118,26 +163,16 @@ def _bab(step_fn, x_bias, label, centers, eps0, n, *, chunk, max_rounds,
             return False, rounds, boxes, "frontier_cap"
         if boxes + len(fc) > box_budget:
             return False, rounds, boxes, "budget"
-        vals = np.empty(len(fc), np.float32)
-        grads = np.empty_like(fc)
-        for i in range(0, len(fc), chunk):
-            c = fc[i : i + chunk]
-            e = fe[i : i + chunk]
-            npad = len(c)
-            if npad < chunk:  # pad to the static kernel shape
-                c = np.concatenate([c, np.zeros((chunk - npad, n), c.dtype)])
-                e = np.concatenate(
-                    [e, np.full((chunk - npad, n), eps0, e.dtype)]
-                )
-            v, g = step_fn(jnp.asarray(c), jnp.asarray(e), x_bias, label)
-            vals[i : i + npad] = np.asarray(v)[:npad]
-            grads[i : i + npad] = np.asarray(g)[:npad]
+        vals = chunked(box_vals_fn, fc, fe, ())
         boxes += len(fc)
         rounds += 1
         open_mask = vals > 0.0
         if not open_mask.any():
             return True, rounds, boxes, ""
-        oc, oe, og = fc[open_mask], fe[open_mask], grads[open_mask]
+        oc, oe = fc[open_mask], fe[open_mask]
+        # split-dim gradients only for the open boxes (the backward pass
+        # costs ~2x the forward; closed boxes never need it)
+        og = chunked(grad_fn, oc, oe, (n,))
         # split dim: largest width x |sensitivity|; the +tiny makes a
         # vanished gradient degrade to widest-dim splitting
         score = oe * (np.abs(np.nan_to_num(og)) + 1e-30)
@@ -195,7 +230,7 @@ def refine_uncertified(
     if not len(todo):
         return certified, stats
 
-    sweep_fn, step_fn = _kernels(cert)
+    sweep_fn, box_vals_fn, grad_fn, place_rows = _kernels(cert)
     feats = np.asarray(cert._features(cert.params, jnp.asarray(images[todo])))
     x_biases = feats @ np.asarray(cert.U).T + np.asarray(cert.bU)
     grid = cert.grid
@@ -219,7 +254,9 @@ def refine_uncertified(
             pblock = block[:, perm]  # label space
             vals = np.asarray(
                 sweep_fn(
-                    jnp.asarray(pblock.reshape(superchunk, chunk, n)),
+                    place_rows(
+                        jnp.asarray(pblock.reshape(superchunk, chunk, n)), 1
+                    ),
                     xb,
                     label,
                 )
@@ -243,9 +280,9 @@ def refine_uncertified(
                                      time.time() - t0))
             continue
         ok, rounds, boxes, gave = _bab(
-            step_fn, xb, label, centers, cert.eps, n, chunk=chunk,
-            max_rounds=max_rounds, frontier_cap=frontier_cap,
-            box_budget=box_budget,
+            box_vals_fn, grad_fn, xb, label, centers, cert.eps, n,
+            chunk=chunk, max_rounds=max_rounds, frontier_cap=frontier_cap,
+            box_budget=box_budget, place_rows=place_rows,
         )
         if ok:
             certified[img] = True

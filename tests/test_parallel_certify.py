@@ -163,3 +163,44 @@ class TestShardedCertSweep:
                 np.testing.assert_array_equal(
                     r0.larger_T_certified, r1.larger_T_certified
                 )
+
+    def test_refine_on_mesh_matches_unsharded(self):
+        # the BaB refinement pass shards frontier/cell rows over the mesh's
+        # cell axis (verify/refine.py): verdicts and stats must match the
+        # unsharded pass exactly
+        from fiode_tpu.models.backbones import TinyMLPBackbone
+        from fiode_tpu.models.dynamics import SimplexDynamics
+        from fiode_tpu.models.ivp import NeuralODEClassifier
+        from fiode_tpu.parallel.mesh import make_mesh2d
+        from fiode_tpu.verify.certify import Certifier
+        from fiode_tpu.verify.refine import refine_uncertified
+
+        n, x_dim = 3, 6
+        dyn = SimplexDynamics(
+            n_hidden=n, mlp_size=16, x_dim=x_dim, dropout=0.0,
+            alpha_1=100.0, alpha_2=20.0, sigma_1=0.02, cayley=True,
+        )
+        model = NeuralODEClassifier(
+            backbone=TinyMLPBackbone(out_dim=x_dim, hidden=16,
+                                     mu=(0.5,), std=(0.25,)),
+            dynamics=dyn, n_classes=n,
+        )
+        x = jax.random.uniform(jax.random.PRNGKey(0), (6, 1, 8, 8))
+        params = jax.jit(model.init)(jax.random.PRNGKey(1), x)
+        y = np.asarray([0, 1, 2, 0, 1, 2])
+
+        base = Certifier(model, params, T=8, eps_input=0.1, chunk=64)
+        shd = Certifier(model, params, T=8, eps_input=0.1, chunk=64,
+                        mesh=make_mesh2d(2, 4))
+        res = base.certify(np.asarray(x), y, method="crown",
+                           early_exit=False)
+        kw = dict(clean=res.clean, chunk=64, superchunk=4, max_rounds=4,
+                  frontier_cap=2048, box_budget=10000)
+        c0, s0 = refine_uncertified(base, np.asarray(x), y, res.certified,
+                                    **kw)
+        c1, s1 = refine_uncertified(shd, np.asarray(x), y, res.certified,
+                                    **kw)
+        np.testing.assert_array_equal(c0, c1)
+        assert [(-s.image, s.base_violated, s.certified) for s in s0] == [
+            (-s.image, s.base_violated, s.certified) for s in s1
+        ]

@@ -610,26 +610,28 @@ class TestRefinement:
         # can never close -> budget trip, not an infinite loop
         from fiode_tpu.verify.refine import _bab
 
-        def fake_step(c, e, xb, lab):
-            vals = jnp.sum(e, -1) - 0.3
-            grads = jnp.ones_like(e)
-            return vals, grads
+        def fake_vals(c, e, xb, lab):
+            return jnp.sum(e, -1) - 0.3
+
+        def fake_grads(c, e, xb, lab):
+            return jnp.ones_like(e)
 
         centers = np.zeros((3, 4), np.float32)
         ok, rounds, boxes, gave = _bab(
-            fake_step, None, 0, centers, 0.2, 4, chunk=8, max_rounds=30,
-            frontier_cap=1 << 16, box_budget=1 << 20,
+            fake_vals, fake_grads, None, 0, centers, 0.2, 4, chunk=8,
+            max_rounds=30, frontier_cap=1 << 16, box_budget=1 << 20,
         )
         assert ok and gave == ""
         # sum(eps)=0.8 must halve dims until < 0.3: reachable, few rounds
         assert rounds < 20
 
-        def fake_step_hopeless(c, e, xb, lab):
-            return jnp.sum(e, -1) + 0.1, jnp.ones_like(e)
+        def fake_vals_hopeless(c, e, xb, lab):
+            return jnp.sum(e, -1) + 0.1
 
         ok, rounds, boxes, gave = _bab(
-            fake_step_hopeless, None, 0, centers, 0.2, 4, chunk=8,
-            max_rounds=10, frontier_cap=1 << 12, box_budget=1 << 16,
+            fake_vals_hopeless, fake_grads, None, 0, centers, 0.2, 4,
+            chunk=8, max_rounds=10, frontier_cap=1 << 12,
+            box_budget=1 << 16,
         )
         assert not ok and gave in ("rounds", "frontier_cap", "budget")
 

@@ -51,11 +51,23 @@ def main():
 
     run_dir = Path(args.run_dir)
     summary = json.loads((run_dir / args.summary).read_text())
+    # accept both summary shapes: summarize_stream's (index_min/index_max)
+    # and certify_stream's own <out>.json (start_ind + n_images)
+    idx_min = int(summary.get("index_min", summary.get("start_ind", 0)))
+    idx_max = int(summary.get(
+        "index_max", idx_min + int(summary["n_images"]) - 1
+    ))
+    if idx_min != 0:
+        raise SystemExit(
+            f"summary covers indices {idx_min}..{idx_max}; this driver "
+            "refines test indices from 0 — re-run the sweep with "
+            "++start_ind=0 or translate certified_idx yourself"
+        )
     cfg = compose(args.config_name, [], "configs/certify")
     model = build_model(cfg)
     params = _restore_params(cfg, model, str(run_dir))
     ds = _load_cfg_dataset(cfg)
-    end = min(args.end, summary["index_max"] + 1, len(ds.test_x))
+    end = min(args.end, idx_max + 1, len(ds.test_x))
 
     certified = np.zeros(end, bool)
     certified[[i for i in summary["certified_idx"] if i < end]] = True

@@ -309,14 +309,23 @@ def run_certify(cfg: dict, method: str = "crown", run_dir: str = ".",
         if stream_out:
             import json
 
+            # stats[].image is slice-relative (refine_uncertified contract)
+            # — translate to absolute test indices so the audit file is
+            # internally consistent with certified_idx
+            abs_stats = []
+            for s in rstats:
+                d = dataclasses.asdict(s)
+                d["image"] += start
+                abs_stats.append(d)
             with open(stream_out + ".refine.json", "w") as fh:
                 json.dump({
                     "refine_rounds": refine_rounds,
+                    "start_ind": start,
                     "recovered": rec,
                     "certified_idx": sorted(
                         (start + np.nonzero(new_cert)[0]).tolist()
                     ),
-                    "stats": [dataclasses.asdict(s) for s in rstats],
+                    "stats": abs_stats,
                 }, fh, indent=1)
     print(
         f"[{method}] range {start}:{end} clean={res.clean_acc:.4f} "

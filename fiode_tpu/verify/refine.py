@@ -73,11 +73,16 @@ def _kernels(cert):
     # SPMD: rows (cells / frontier boxes) are embarrassingly parallel, so
     # a Certifier mesh shards them over its cell axis; GSPMD propagates the
     # operand placement through the jitted kernels, no kernel changes
-    if cert.mesh is not None:
+    # mirror certify._mesh_placers' cell-axis rule exactly: a 1-D mesh of
+    # any name shards rows; a multi-axis mesh shards over "cell" when
+    # present and otherwise replicates (diverging from that rule here
+    # would shard refine differently from the main sweep on custom meshes)
+    names = cert.mesh.axis_names if cert.mesh is not None else ()
+    cell_ax = names[0] if len(names) == 1 else (
+        "cell" if "cell" in names else None
+    )
+    if cell_ax is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
-
-        names = cert.mesh.axis_names
-        cell_ax = "cell" if "cell" in names else names[0]
 
         def place_rows(a, dim):
             spec = [None] * a.ndim
@@ -156,19 +161,30 @@ def _bab(box_vals_fn, grad_fn, x_bias, label, centers, eps0, n, *, chunk,
     fe = np.full_like(fc, eps0)
     rounds = 0
     boxes = 0
+    first = True
     while len(fc):
         if rounds >= max_rounds:
             return False, rounds, boxes, "rounds"
         if len(fc) > frontier_cap:
             return False, rounds, boxes, "frontier_cap"
-        if boxes + len(fc) > box_budget:
-            return False, rounds, boxes, "budget"
-        vals = chunked(box_vals_fn, fc, fe, ())
-        boxes += len(fc)
-        rounds += 1
-        open_mask = vals > 0.0
-        if not open_mask.any():
-            return True, rounds, boxes, ""
+        if first:
+            # the initial frontier is exactly the collected violated cells:
+            # every one is open by construction (and the vector-eps path
+            # agrees with the scalar sweep to rounding), so go straight to
+            # splitting instead of re-bounding the same boxes
+            open_mask = np.ones(len(fc), bool)
+            first = False
+        else:
+            if boxes + len(fc) > box_budget:
+                return False, rounds, boxes, "budget"
+            vals = chunked(box_vals_fn, fc, fe, ())
+            boxes += len(fc)
+            rounds += 1
+            # fail CLOSED on NaN: a non-finite bound is an open box, never
+            # a pass (vals > 0 would silently certify through a NaN)
+            open_mask = ~(vals <= 0.0)
+            if not open_mask.any():
+                return True, rounds, boxes, ""
         oc, oe = fc[open_mask], fe[open_mask]
         # split-dim gradients only for the open boxes (the backward pass
         # costs ~2x the forward; closed boxes never need it)
@@ -177,17 +193,36 @@ def _bab(box_vals_fn, grad_fn, x_bias, label, centers, eps0, n, *, chunk,
         # vanished gradient degrade to widest-dim splitting
         score = oe * (np.abs(np.nan_to_num(og)) + 1e-30)
         d = np.argmax(score, axis=1)
-        rows = np.arange(len(oc))
-        half = oe[rows, d] * 0.5
-        lo = oc.copy()
-        hi = oc.copy()
-        lo[rows, d] -= half
-        hi[rows, d] += half
-        ce = oe.copy()
-        ce[rows, d] = half
+        lo, hi, ce_lo, ce_hi = _split_children(oc, oe, d)
         fc = np.concatenate([lo, hi])
-        fe = np.concatenate([ce, ce])
+        fe = np.concatenate([ce_lo, ce_hi])
     return True, rounds, boxes, ""
+
+
+def _split_children(oc, oe, d):
+    """Halve each box along its chosen dim ``d`` into two covering children.
+
+    fp32 rounding of the child centers could otherwise open a sub-ulp
+    sliver at the split plane or the parent's outer edges (fl(c -+ h) can
+    land strictly inside the parent), so each child's split half-width is
+    padded by 2 ulps at the child-center magnitude: the children's union
+    provably covers the parent box [c - e, c + e].
+    """
+    rows = np.arange(len(oc))
+    half = (oe[rows, d] * 0.5).astype(np.float32)
+    lo = oc.copy()
+    hi = oc.copy()
+    lo[rows, d] -= half
+    hi[rows, d] += half
+    ce_lo = oe.copy()
+    ce_hi = oe.copy()
+    ce_lo[rows, d] = half + 2 * np.spacing(
+        (np.abs(lo[rows, d]) + half).astype(np.float32)
+    )
+    ce_hi[rows, d] = half + 2 * np.spacing(
+        (np.abs(hi[rows, d]) + half).astype(np.float32)
+    )
+    return lo, hi, ce_lo, ce_hi
 
 
 def refine_uncertified(
@@ -213,6 +248,15 @@ def refine_uncertified(
     each violated cell until the frontier closes or a budget trips.
     ``certified`` is not mutated; an updated copy is returned with images
     flipped True only when every violated cell's refinement closed.
+    ``RefineStats.image`` indexes into THIS call's ``images`` array — the
+    caller owns any global-offset translation.
+
+    The refinement bound is plain CROWN: a Certifier's ``alpha_iters``
+    slope optimization is deliberately NOT applied here (it would multiply
+    every frontier evaluation by ~2*iters+1x; splitting the box is the
+    cheaper, more effective tightener).  Sound either way — plain CROWN is
+    valid for every box — but a cell alpha-CROWN would pass one-shot may
+    show up as refinement work.
 
     Returns (new_certified, [RefineStats...]).
     """
@@ -261,7 +305,9 @@ def refine_uncertified(
                     label,
                 )
             ).reshape(-1)[:nb]
-            bad = np.nonzero(vals > 0.0)[0]
+            # fail CLOSED on NaN (see _bab): a non-finite per-cell bound is
+            # collected for refinement, never treated as passing
+            bad = np.nonzero(~(vals <= 0.0))[0]
             if len(bad):
                 viol.append(pblock[bad])
             if sum(len(v) for v in viol) > collect_cap:

@@ -113,7 +113,17 @@ class TestCliSurface:
                      "--config-dir", cert_dir, "--run-dir", run_dir,
                      "--max-images", "2", "++T=6", "++end_ind=2",
                      data_none, *CLI_TINY]
-        main(["certify-crown", *cert_args])
+        stream = str(tmp_path / "cert.jsonl")
+        main(["certify-crown", "--stream-out", stream, *cert_args,
+              "++refine_rounds=2", "++refine_box_budget=2000",
+              "++chunk=64"])
+        # the refinement audit sits next to the stream log with absolute
+        # image indices
+        import json as _json
+
+        raud = _json.loads(Path(stream + ".refine.json").read_text())
+        assert raud["refine_rounds"] == 2 and raud["start_ind"] == 0
+        assert all(0 <= s["image"] < 2 for s in raud["stats"])
         main(["certify-lipschitz", *cert_args])
 
         main(["eval-autoattack", "--config-name", "mnist_certify.yaml",

@@ -660,3 +660,50 @@ class TestRefinement:
         assert len(stats) == int((res_c.clean & ~res_c.certified).sum())
         for s in stats:
             assert s.certified == bool(new_cert[s.image])
+
+    def test_split_children_cover_parent_in_fp32(self):
+        # the children's union must cover the parent box exactly in fp32 —
+        # no sliver at the split plane or the outer edges (regression for
+        # fl(c -+ h) landing strictly inside the parent)
+        from fiode_tpu.verify.refine import _split_children
+
+        rng = np.random.default_rng(7)
+        N, n = 4096, 6
+        oc = (rng.uniform(-1.0, 1.0, (N, n)) * 10 ** rng.uniform(
+            -3, 0, (N, 1))).astype(np.float32)
+        oe = (10.0 ** rng.uniform(-7, -1, (N, n))).astype(np.float32)
+        d = rng.integers(0, n, N)
+        lo, hi, ce_lo, ce_hi = _split_children(oc, oe, d)
+        rows = np.arange(N)
+        c, e = oc[rows, d], oe[rows, d]
+        # outer edges: children extend at least to the parent's edges
+        assert (lo[rows, d] - ce_lo[rows, d] <= c - e).all()
+        assert (hi[rows, d] + ce_hi[rows, d] >= c + e).all()
+        # split plane: the two children overlap (or touch) at the center
+        assert (lo[rows, d] + ce_lo[rows, d] >= hi[rows, d]
+                - ce_hi[rows, d]).all()
+        assert (lo[rows, d] + ce_lo[rows, d] >= c).all()
+        assert (hi[rows, d] - ce_hi[rows, d] <= c).all()
+        # non-split dims are untouched
+        keep = np.ones((N, n), bool)
+        keep[rows, d] = False
+        np.testing.assert_array_equal(lo[keep], oc[keep])
+        np.testing.assert_array_equal(ce_lo[keep], oe[keep])
+
+    def test_bab_nan_fails_closed(self):
+        # a NaN bound is an OPEN box: it must never certify through
+        # (vals > 0 would treat NaN as closed)
+        from fiode_tpu.verify.refine import _bab
+
+        def nan_vals(c, e, xb, lab):
+            return jnp.full(e.shape[0], jnp.nan)
+
+        def fake_grads(c, e, xb, lab):
+            return jnp.ones_like(e)
+
+        centers = np.zeros((2, 4), np.float32)
+        ok, rounds, boxes, gave = _bab(
+            nan_vals, fake_grads, None, 0, centers, 0.2, 4, chunk=8,
+            max_rounds=4, frontier_cap=1 << 10, box_budget=1 << 14,
+        )
+        assert not ok and gave != ""

@@ -15,6 +15,12 @@ Usage:
 
 The reference has no counterpart: robustness/certify_crown.py:149-153
 abandons an image at the first positive-bound cell.
+
+Resumable: every processed image's verdict is appended to
+``<out-stem>_stream.jsonl`` as it completes; re-running the same command
+skips those images (the relay's multi-hour outages make mid-run kills
+routine — see CLAUDE.md).  ``seconds`` in the final JSON is this process's
+wall time; per-image times in ``stats`` cover the whole run.
 """
 import argparse
 import dataclasses
@@ -47,7 +53,7 @@ def main():
     )
     from fiode_tpu.utils.config import compose
     from fiode_tpu.verify.certify import Certifier
-    from fiode_tpu.verify.refine import refine_uncertified
+    from fiode_tpu.verify.refine import RefineStats, refine_uncertified
 
     run_dir = Path(args.run_dir)
     summary = json.loads((run_dir / args.summary).read_text())
@@ -71,6 +77,29 @@ def main():
 
     certified = np.zeros(end, bool)
     certified[[i for i in summary["certified_idx"] if i < end]] = True
+    base_mask = certified.copy()
+    base_certified = int(base_mask.sum())
+
+    # resume: every processed image's verdict is streamed to a JSONL sidecar
+    # so a relay outage mid-run loses at most one image's work
+    stream_path = run_dir / (Path(args.out).stem + "_stream.jsonl")
+    streamed = {}
+    if stream_path.exists():
+        for line in stream_path.read_text().splitlines():
+            if line.strip():
+                rec = json.loads(line)
+                streamed[int(rec["image"])] = rec
+    skip = np.zeros(end, bool)
+    for i, rec in streamed.items():
+        if i < end:
+            skip[i] = True
+            if rec["certified"]:
+                certified[i] = True
+    if streamed:
+        print(f"resuming: {len(streamed)} images already refined "
+              f"({sum(r['certified'] for r in streamed.values())} recovered)",
+              flush=True)
+
     cert = Certifier(
         model, params, T=int(cfg.get("T", 40)),
         eps_input=float(cfg.get("eps", 36 / 255)),
@@ -83,11 +112,23 @@ def main():
         flush=True,
     )
     t0 = time.time()
+
+    def stream_image(s):
+        with stream_path.open("a") as f:
+            f.write(json.dumps(dataclasses.asdict(s)) + "\n")
+
     new_cert, stats = refine_uncertified(
         cert, ds.test_x[:end], ds.test_y[:end], certified,
         max_rounds=args.rounds, collect_cap=args.collect_cap,
         box_budget=args.box_budget, frontier_cap=args.frontier_cap,
-        progress_every=1,
+        progress_every=1, skip=skip, on_image=stream_image,
+    )
+    # fold resumed images' stats back in (fresh entries win on conflict)
+    fresh = {s.image for s in stats}
+    stats = sorted(
+        stats + [RefineStats(**rec) for i, rec in streamed.items()
+                 if i < end and i not in fresh],
+        key=lambda s: s.image,
     )
     out = {
         "base_summary": args.summary,
@@ -96,12 +137,12 @@ def main():
         "refine_rounds": args.rounds,
         "box_budget": args.box_budget,
         "collect_cap": args.collect_cap,
-        "base_certified": int(certified.sum()),
+        "base_certified": base_certified,
         "certified": int(new_cert.sum()),
-        "recovered": int(new_cert.sum() - certified.sum()),
+        "recovered": int(new_cert.sum() - base_certified),
         "certified_acc": float(new_cert.mean()),
         "recovered_idx": sorted(
-            np.nonzero(new_cert & ~certified)[0].tolist()
+            np.nonzero(new_cert & ~base_mask)[0].tolist()
         ),
         "certified_idx": sorted(np.nonzero(new_cert)[0].tolist()),
         "seconds": time.time() - t0,

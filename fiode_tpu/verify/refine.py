@@ -239,6 +239,8 @@ def refine_uncertified(
     frontier_cap: int = 1 << 20,
     box_budget: int = 64_000_000,
     progress_every: int = 0,
+    skip: Optional[np.ndarray] = None,
+    on_image=None,
 ):
     """BaB-refine every clean-but-uncertified image of a CROWN sweep.
 
@@ -250,6 +252,13 @@ def refine_uncertified(
     flipped True only when every violated cell's refinement closed.
     ``RefineStats.image`` indexes into THIS call's ``images`` array — the
     caller owns any global-offset translation.
+
+    ``skip`` (bool mask over images) excludes images from the todo set
+    without treating them as certified — the resume hook for a driver that
+    already holds a streamed verdict for them.  ``on_image`` is called as
+    ``on_image(stats[-1])`` after every processed image (the stats entry
+    carries the image index and its certified verdict), so drivers can
+    persist progress across relay outages.
 
     The refinement bound is plain CROWN: a Certifier's ``alpha_iters``
     slope optimization is deliberately NOT applied here (it would multiply
@@ -269,7 +278,10 @@ def refine_uncertified(
         clean = np.asarray(
             cert._predict(cert.params, jnp.asarray(images))
         ) == labels
-    todo = np.nonzero(clean & ~certified)[0]
+    todo_mask = clean & ~certified
+    if skip is not None:
+        todo_mask &= ~np.asarray(skip, bool)
+    todo = np.nonzero(todo_mask)[0]
     stats = []
     if not len(todo):
         return certified, stats
@@ -316,6 +328,8 @@ def refine_uncertified(
         if gave:
             stats.append(RefineStats(int(img), -1, 0, 0, False, gave,
                                      time.time() - t0))
+            if on_image:
+                on_image(stats[-1])
             continue
         centers = (np.concatenate(viol) if viol
                    else np.zeros((0, n), np.float32))
@@ -324,6 +338,8 @@ def refine_uncertified(
             certified[img] = True
             stats.append(RefineStats(int(img), 0, 0, 0, True, "",
                                      time.time() - t0))
+            if on_image:
+                on_image(stats[-1])
             continue
         ok, rounds, boxes, gave = _bab(
             box_vals_fn, grad_fn, xb, label, centers, cert.eps, n,
@@ -334,6 +350,8 @@ def refine_uncertified(
             certified[img] = True
         stats.append(RefineStats(int(img), len(centers), rounds, boxes, ok,
                                  gave, time.time() - t0))
+        if on_image:
+            on_image(stats[-1])
         if progress_every and (k + 1) % progress_every == 0:
             done = sum(1 for s in stats if s.certified)
             print(

@@ -661,6 +661,37 @@ class TestRefinement:
         for s in stats:
             assert s.certified == bool(new_cert[s.image])
 
+    def test_refine_skip_and_on_image_resume(self, tmp_path):
+        # the resume hooks: on_image streams every verdict; a second call
+        # with skip= set from the stream processes nothing new and the
+        # merged verdicts equal the single-pass run
+        from fiode_tpu.verify.refine import refine_uncertified
+
+        maker = TestCertifierEndToEnd()
+        model, params, x = maker._make(tmp_path)
+        y = np.asarray([0, 1, 2, 0, 1, 2])
+        cert = Certifier(model, params, T=8, eps_input=0.1, chunk=64)
+        res_c = cert.certify(np.asarray(x), y, method="crown",
+                             early_exit=False)
+        kw = dict(clean=res_c.clean, chunk=64, superchunk=4, max_rounds=6,
+                  frontier_cap=4096, box_budget=20000)
+        streamed = []
+        full_cert, full_stats = refine_uncertified(
+            cert, np.asarray(x), y, res_c.certified,
+            on_image=streamed.append, **kw)
+        assert [s.image for s in streamed] == [s.image for s in full_stats]
+        # resume with every streamed image skipped: nothing left to do
+        skip = np.zeros(len(y), bool)
+        base = res_c.certified.copy()
+        for s in streamed:
+            skip[s.image] = True
+            if s.certified:
+                base[s.image] = True
+        re_cert, re_stats = refine_uncertified(
+            cert, np.asarray(x), y, base, skip=skip, **kw)
+        assert re_stats == []
+        np.testing.assert_array_equal(re_cert, full_cert)
+
     def test_split_children_cover_parent_in_fp32(self):
         # the children's union must cover the parent box exactly in fp32 —
         # no sliver at the split plane or the outer edges (regression for

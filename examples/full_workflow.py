@@ -39,6 +39,10 @@ def main():
                     help="BaB cell-refinement rounds for clean-but-"
                     "uncertified images after the crown sweep (0 = off)")
     ap.add_argument("--attack-images", type=int, default=128)
+    ap.add_argument("--certify-eps", type=float, default=36 / 255,
+                    help="L2 certification radius; 36/255 is the CIFAR "
+                    "protocol (reference configs/certify/cifar_certify."
+                    "yaml:57), 0.1 the MNIST one (mnist_certify.yaml:57)")
     ap.add_argument("--resume", action="store_true",
                     help="continue an interrupted training run from the "
                     "run dir's resume checkpoint")
@@ -134,8 +138,9 @@ def main():
     sn_final = tr._phase_scale_nominal
     results["certify_scale_nominal"] = sn_final
     cert = Certifier(model=tr.model, params=params, T=args.T,
-                     eps_input=36 / 255, chunk=4096, grid=grid,
+                     eps_input=args.certify_eps, chunk=4096, grid=grid,
                      scale_nominal=sn_final)
+    results["certify_eps"] = args.certify_eps
     n_img = args.certify_images
     t0 = time.time()
     res_c = cert.certify(tr.ds.test_x[:n_img], tr.ds.test_y[:n_img],

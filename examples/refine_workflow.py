@@ -25,10 +25,13 @@ wall time; per-image times in ``stats`` cover the whole run.
 import argparse
 import dataclasses
 import json
+import sys
 import time
 from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def main():

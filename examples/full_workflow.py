@@ -196,11 +196,15 @@ def main():
     t0 = time.time()
     # attack-time horizon t_max=0.1 (the reference's AutoAttack protocol,
     # README.md:51) — attacks through the solve scale with integration depth
+    # attack at the CERTIFICATION radius: the consistency check below
+    # compares certified ⊆ robust, which only holds when both use the same
+    # eps (cfg.eps is the training radius and may differ)
     robust = tr.test_autoattack(
         params, jax.random.PRNGKey(3), attacks=("apgd-ce", "apgd-t"),
         max_batches=max(1, args.attack_images // tr.cfg.val_batch_size),
-        n_iter=20, t_max=0.1, max_steps=16,
+        n_iter=20, t_max=0.1, max_steps=16, eps=args.certify_eps,
     )
+    results["attack_eps"] = args.certify_eps
     results["autoattack"] = robust
     results["attack_seconds"] = time.time() - t0
     results["attack_images_per_sec"] = (

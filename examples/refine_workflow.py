@@ -44,6 +44,11 @@ def main():
     ap.add_argument("--collect-cap", type=int, default=4_000_000)
     ap.add_argument("--box-budget", type=int, default=64_000_000)
     ap.add_argument("--frontier-cap", type=int, default=1 << 20)
+    ap.add_argument("--alpha-iters", type=int, default=0,
+                    help="alpha-CROWN slope-optimization iterations in the "
+                    "BaB box evaluator (0 = plain CROWN). Tightens the "
+                    "base bound for images whose plain-CROWN violated set "
+                    "exceeds collect-cap; ~(2*iters+2)x per box")
     ap.add_argument("--out", default="refine_full.json")
     args = ap.parse_args()
 
@@ -84,23 +89,51 @@ def main():
     base_certified = int(base_mask.sum())
 
     # resume: every processed image's verdict is streamed to a JSONL sidecar
-    # so a relay outage mid-run loses at most one image's work
+    # so a relay outage mid-run loses at most one image's work.  Budget
+    # params are stamped into every record: a certified verdict is final
+    # (sound under ANY budget) and always skipped, but a gave-up verdict is
+    # only skipped when this run's budgets match the record's — re-running
+    # with raised budgets (or a different bound, --alpha-iters) retries
+    # exactly the images the old budgets failed on.
+    budget_params = {
+        "rounds": args.rounds,
+        "collect_cap": args.collect_cap,
+        "box_budget": args.box_budget,
+        "frontier_cap": args.frontier_cap,
+        "alpha_iters": args.alpha_iters,
+    }
     stream_path = run_dir / (Path(args.out).stem + "_stream.jsonl")
     streamed = {}
     if stream_path.exists():
-        for line in stream_path.read_text().splitlines():
-            if line.strip():
+        for ln, line in enumerate(stream_path.read_text().splitlines(), 1):
+            if not line.strip():
+                continue
+            try:
                 rec = json.loads(line)
-                streamed[int(rec["image"])] = rec
+            except json.JSONDecodeError:
+                # a process killed mid-append leaves a truncated final
+                # line; degrade to re-refining that one image
+                print(f"warning: {stream_path}:{ln} is malformed JSON "
+                      "(truncated write?) — ignoring that record", flush=True)
+                continue
+            streamed[int(rec["image"])] = rec
     skip = np.zeros(end, bool)
+    n_retry = 0
     for i, rec in streamed.items():
-        if i < end:
+        if i >= end:
+            continue
+        if rec["certified"]:
+            certified[i] = True
             skip[i] = True
-            if rec["certified"]:
-                certified[i] = True
+        elif rec.get("params") == budget_params:
+            skip[i] = True
+        else:
+            n_retry += 1  # gave up under different budgets: retry
     if streamed:
-        print(f"resuming: {len(streamed)} images already refined "
-              f"({sum(r['certified'] for r in streamed.values())} recovered)",
+        print(f"resuming: {len(streamed)} streamed verdicts "
+              f"({sum(r['certified'] for r in streamed.values())} certified"
+              f"{f', retrying {n_retry} gave-ups under new budgets'
+                 if n_retry else ''})",
               flush=True)
 
     cert = Certifier(
@@ -109,28 +142,39 @@ def main():
         scale_nominal=bool(cfg["module"]["dynamics"]["scale_nominal"]),
     )
     print(
-        f"refining {int((~certified).sum())} uncertified of {end} images "
+        f"refining {int((~certified & ~skip).sum())} "
+        f"uncertified of {end} images "
         f"(T={cert.T}, kappa={cert.kappa:.4f}, "
-        f"precision={cert.matmul_precision}, rounds<={args.rounds})",
+        f"precision={cert.matmul_precision}, rounds<={args.rounds}, "
+        f"alpha_iters={args.alpha_iters})",
         flush=True,
     )
     t0 = time.time()
 
     def stream_image(s):
         with stream_path.open("a") as f:
-            f.write(json.dumps(dataclasses.asdict(s)) + "\n")
+            f.write(json.dumps(
+                dataclasses.asdict(s) | {"params": budget_params}
+            ) + "\n")
 
     new_cert, stats = refine_uncertified(
         cert, ds.test_x[:end], ds.test_y[:end], certified,
         max_rounds=args.rounds, collect_cap=args.collect_cap,
         box_budget=args.box_budget, frontier_cap=args.frontier_cap,
+        alpha_iters=args.alpha_iters,
         progress_every=1, skip=skip, on_image=stream_image,
     )
-    # fold resumed images' stats back in (fresh entries win on conflict)
+    # fold resumed images' stats back in (fresh entries win on conflict);
+    # tolerate older-generation records (missing fields get dataclass
+    # defaults, the params stamp is workflow metadata, not a stat)
+    fields = {f.name for f in dataclasses.fields(RefineStats)}
     fresh = {s.image for s in stats}
     stats = sorted(
-        stats + [RefineStats(**rec) for i, rec in streamed.items()
-                 if i < end and i not in fresh],
+        stats + [
+            RefineStats(**{k: v for k, v in rec.items() if k in fields})
+            for i, rec in streamed.items()
+            if i < end and i not in fresh and skip[i]
+        ],
         key=lambda s: s.image,
     )
     out = {
@@ -140,6 +184,8 @@ def main():
         "refine_rounds": args.rounds,
         "box_budget": args.box_budget,
         "collect_cap": args.collect_cap,
+        "frontier_cap": args.frontier_cap,
+        "alpha_iters": args.alpha_iters,
         "base_certified": base_certified,
         "certified": int(new_cert.sum()),
         "recovered": int(new_cert.sum() - base_certified),

@@ -701,14 +701,16 @@ class LyapunovTrainer:
 
     def test_autoattack(self, params, key, attacks=("apgd-ce", "apgd-t"),
                         max_batches=None, n_iter=100, t_max=None,
-                        max_steps=32):
+                        max_steps=32, eps=None):
         """Test-time AutoAttack evaluation (reference test_step,
         pl_modules.py:222-244: apgd-ce + apgd-t at eps/norm).
 
         ``t_max`` shortens the attack-time integration horizon (the
         reference evaluates AutoAttack at t_max=0.1, README.md:51 /
         eval_autoattack protocol) — attacks through the ODE are dominated by
-        solve depth."""
+        solve depth.  ``eps`` overrides the config attack radius — callers
+        comparing against a certificate must attack at the SAME radius the
+        certificate used, or certified ⊆ robust need not hold."""
         import dataclasses as _dc
 
         from ..attacks.autoattack import AutoAttackSuite
@@ -734,8 +736,8 @@ class LyapunovTrainer:
             )
 
         suite = AutoAttackSuite(
-            logits_fn, eps=self.cfg.eps, norm=self.cfg.norm,
-            attacks_to_run=attacks, n_iter=n_iter,
+            logits_fn, eps=self.cfg.eps if eps is None else float(eps),
+            norm=self.cfg.norm, attacks_to_run=attacks, n_iter=n_iter,
         )
         bs = self.cfg.val_batch_size
         xs, ys = self.ds.test_x, self.ds.test_y

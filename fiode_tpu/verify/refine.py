@@ -43,15 +43,20 @@ __all__ = ["refine_uncertified", "RefineStats"]
 @dataclasses.dataclass
 class RefineStats:
     image: int
-    base_violated: int  # violated cells in the scalar-eps re-sweep
+    base_violated: int  # violated cells entering BaB (post alpha filter)
     rounds: int  # BaB rounds run
     boxes_evaluated: int  # BaB sub-boxes bounded (excl. the base sweep)
     certified: bool
     gave_up: str  # "" | "collect_cap" | "frontier_cap" | "rounds" | "budget"
     seconds: float
+    # violated cells in the plain-CROWN sweep BEFORE the alpha-CROWN
+    # filter (== base_violated when alpha_iters == 0); -1 when collection
+    # aborted at collect_cap.  Defaulted so pre-alpha-era stream records
+    # still parse as RefineStats(**rec).
+    pre_alpha_violated: int = -2
 
 
-def _kernels(cert):
+def _kernels(cert, alpha_iters: int = 0):
     """Build the jitted kernels for one Certifier's refinement pass.
 
     ``sweep_fn`` re-evaluates base cells at the uniform scalar eps — the
@@ -61,8 +66,21 @@ def _kernels(cert):
     returns the half-width gradients for the split heuristic (run only on
     boxes that stayed open).  All take the image's x_bias as a traced
     argument so one compile serves every image.
+
+    ``alpha_iters > 0`` swaps the box evaluator (``box_vals_fn``) for an
+    alpha-CROWN one: ReLU lower slopes are optimized per box against the
+    smooth bound-width surrogate, with the best iterate selected by the
+    certified quantity itself — never looser than plain CROWN (iterate 0
+    IS the plain-CROWN heuristic slope; see optimize_crown_alphas).  Every
+    iterate is sound (any alpha in [0,1] lower-bounds ReLU), so soundness
+    needs no new argument.  ``sweep_fn`` stays plain CROWN: because the
+    alpha bound is pointwise <= the plain bound, the plain sweep's violated
+    set is a superset of alpha's — the caller filters it through
+    ``box_vals_fn`` instead of paying alpha on all cells.  ``grad_fn``
+    keeps plain-CROWN gradients (only the split-dim CHOICE uses them;
+    any choice is sound).
     """
-    from .crown import crown_mlp_bounds
+    from .crown import crown_mlp_bounds, optimize_crown_alphas
     from .ibp_qp import ibp_cbf_qp, ibp_sigmoid, worst_case_vdot
 
     Ws = [jnp.asarray(W) for W in cert.Ws]
@@ -91,12 +109,9 @@ def _kernels(cert):
     else:
         place_rows = lambda a, dim: a
 
-    def val(eta_l, eps, x_bias, label):
-        # eta_l is in label space (columns 0 <-> label swapped by the
-        # caller, grid_for_label semantics): the true class sits at column
-        # ``label``, exactly as in Certifier._make_crown_chunk's ``one``
-        x_rows = jnp.broadcast_to(x_bias, (eta_l.shape[0], x_bias.shape[-1]))
-        lb, ub = crown_mlp_bounds(Ws, bs, eta_l, eps, x_rows)
+    def post(eta_l, eps, label, lb, ub):
+        # the certificate chain after the MLP bounds (shared with alpha's
+        # best-iterate selection): sigmoid rescale -> QP interval -> Vdot
         if cert.scale_nominal:
             lb, ub = ibp_sigmoid(
                 lb, ub, eta_l - eps, eta_l + eps, a1, s1, a2
@@ -106,6 +121,27 @@ def _kernels(cert):
         )
         return worst_case_vdot(eta_l, eps, f_lb, f_ub, label) + kappa
 
+    def val(eta_l, eps, x_bias, label):
+        # eta_l is in label space (columns 0 <-> label swapped by the
+        # caller, grid_for_label semantics): the true class sits at column
+        # ``label``, exactly as in Certifier._make_crown_chunk's ``one``
+        x_rows = jnp.broadcast_to(x_bias, (eta_l.shape[0], x_bias.shape[-1]))
+        lb, ub = crown_mlp_bounds(Ws, bs, eta_l, eps, x_rows)
+        return post(eta_l, eps, label, lb, ub)
+
+    def alpha_val(eta_l, eps, x_bias, label):
+        # alpha-CROWN box bound: width-surrogate gradient, best iterate
+        # selected by the certified quantity (never looser than plain)
+        x_rows = jnp.broadcast_to(x_bias, (eta_l.shape[0], x_bias.shape[-1]))
+        alphas = optimize_crown_alphas(
+            Ws, bs, eta_l, eps, x_rows,
+            loss_fn=lambda lb, ub: jnp.sum(ub - lb, axis=-1),
+            iters=alpha_iters,
+            select_fn=lambda lb, ub: post(eta_l, eps, label, lb, ub),
+        )
+        lb, ub = crown_mlp_bounds(Ws, bs, eta_l, eps, x_rows, alphas)
+        return post(eta_l, eps, label, lb, ub)
+
     @jax.jit
     def sweep_fn(etas_l, x_bias, label):  # (K, C, n) label-space cells
         def body(e):
@@ -114,10 +150,12 @@ def _kernels(cert):
 
         return jax.lax.map(body, etas_l)
 
+    box_val = alpha_val if alpha_iters > 0 else val
+
     @jax.jit
     def box_vals_fn(eta_l, eps, x_bias, label):  # (C, n), (C, n) boxes
         with jax.default_matmul_precision(cert.matmul_precision):
-            return val(eta_l, eps, x_bias, label)
+            return box_val(eta_l, eps, x_bias, label)
 
     # the backward pass costs ~2x the forward: run it only on boxes that
     # stayed open (they need a split dim), not on the whole frontier
@@ -131,6 +169,29 @@ def _kernels(cert):
     return sweep_fn, box_vals_fn, grad_fn, place_rows
 
 
+def _chunked(fn, cs, es, out_dims, *, chunk, n, eps0, x_bias, label,
+             place_rows):
+    """Host-chunked evaluation of a jitted (C, n)-box kernel over any
+    number of rows, padding the tail to the static kernel shape."""
+    out = np.empty((len(cs),) + out_dims, np.float32)
+    for i in range(0, len(cs), chunk):
+        c = cs[i : i + chunk]
+        e = es[i : i + chunk]
+        npad = len(c)
+        if npad < chunk:  # pad to the static kernel shape
+            c = np.concatenate([c, np.zeros((chunk - npad, n), c.dtype)])
+            e = np.concatenate(
+                [e, np.full((chunk - npad, n), eps0, e.dtype)]
+            )
+        r = fn(
+            place_rows(jnp.asarray(c), 0),
+            place_rows(jnp.asarray(e), 0),
+            x_bias, label,
+        )
+        out[i : i + npad] = np.asarray(r)[:npad]
+    return out
+
+
 def _bab(box_vals_fn, grad_fn, x_bias, label, centers, eps0, n, *, chunk,
          max_rounds, frontier_cap, box_budget,
          place_rows=lambda a, dim: a):
@@ -139,23 +200,8 @@ def _bab(box_vals_fn, grad_fn, x_bias, label, centers, eps0, n, *, chunk,
     Returns (closed, rounds, boxes_evaluated, gave_up)."""
 
     def chunked(fn, cs, es, out_dims):
-        out = np.empty((len(cs),) + out_dims, np.float32)
-        for i in range(0, len(cs), chunk):
-            c = cs[i : i + chunk]
-            e = es[i : i + chunk]
-            npad = len(c)
-            if npad < chunk:  # pad to the static kernel shape
-                c = np.concatenate([c, np.zeros((chunk - npad, n), c.dtype)])
-                e = np.concatenate(
-                    [e, np.full((chunk - npad, n), eps0, e.dtype)]
-                )
-            r = fn(
-                place_rows(jnp.asarray(c), 0),
-                place_rows(jnp.asarray(e), 0),
-                x_bias, label,
-            )
-            out[i : i + npad] = np.asarray(r)[:npad]
-        return out
+        return _chunked(fn, cs, es, out_dims, chunk=chunk, n=n, eps0=eps0,
+                        x_bias=x_bias, label=label, place_rows=place_rows)
 
     fc = centers.astype(np.float32)
     fe = np.full_like(fc, eps0)
@@ -241,6 +287,7 @@ def refine_uncertified(
     progress_every: int = 0,
     skip: Optional[np.ndarray] = None,
     on_image=None,
+    alpha_iters: int = 0,
 ):
     """BaB-refine every clean-but-uncertified image of a CROWN sweep.
 
@@ -260,12 +307,17 @@ def refine_uncertified(
     carries the image index and its certified verdict), so drivers can
     persist progress across relay outages.
 
-    The refinement bound is plain CROWN: a Certifier's ``alpha_iters``
-    slope optimization is deliberately NOT applied here (it would multiply
-    every frontier evaluation by ~2*iters+1x; splitting the box is the
-    cheaper, more effective tightener).  Sound either way — plain CROWN is
-    valid for every box — but a cell alpha-CROWN would pass one-shot may
-    show up as refinement work.
+    ``alpha_iters = 0`` (default) bounds boxes with plain CROWN — cheap,
+    and splitting alone closes most borderline cells.  ``alpha_iters > 0``
+    switches the BaB box evaluator to alpha-CROWN (see ``_kernels``):
+    the base sweep stays plain CROWN, its violated cells are then
+    re-bounded once under alpha before entering the frontier (the alpha
+    bound is pointwise <= plain, so this filter is exact, not heuristic),
+    and ``collect_cap`` applies to the POST-filter count — images whose
+    plain-CROWN violated set is intractably large (>collect_cap) become
+    refinable when alpha kills most of the slack.  Each alpha evaluation
+    costs ~(2*iters+2)x a plain one; use for the tail the plain evaluator
+    gave up on.
 
     Returns (new_certified, [RefineStats...]).
     """
@@ -286,7 +338,9 @@ def refine_uncertified(
     if not len(todo):
         return certified, stats
 
-    sweep_fn, box_vals_fn, grad_fn, place_rows = _kernels(cert)
+    sweep_fn, box_vals_fn, grad_fn, place_rows = _kernels(
+        cert, alpha_iters=alpha_iters
+    )
     feats = np.asarray(cert._features(cert.params, jnp.asarray(images[todo])))
     x_biases = feats @ np.asarray(cert.U).T + np.asarray(cert.bU)
     grid = cert.grid
@@ -300,6 +354,7 @@ def refine_uncertified(
         xb = jnp.asarray(x_biases[k])
         viol = []
         gave = ""
+        pre_alpha = 0
         for i in range(0, len(grid), block_cells):
             block = grid[i : i + block_cells]
             nb = len(block)
@@ -320,6 +375,19 @@ def refine_uncertified(
             # fail CLOSED on NaN (see _bab): a non-finite per-cell bound is
             # collected for refinement, never treated as passing
             bad = np.nonzero(~(vals <= 0.0))[0]
+            pre_alpha += len(bad)
+            if len(bad) and alpha_iters > 0:
+                # exact filter: the alpha bound is pointwise <= plain (best
+                # iterate selected by the certified quantity, starting from
+                # plain's slopes), so cells it closes need no refinement
+                cells = pblock[bad]
+                avals = _chunked(
+                    box_vals_fn, cells,
+                    np.full_like(cells, cert.eps), (),
+                    chunk=chunk, n=n, eps0=cert.eps, x_bias=xb,
+                    label=label, place_rows=place_rows,
+                )
+                bad = bad[~(avals <= 0.0)]
             if len(bad):
                 viol.append(pblock[bad])
             if sum(len(v) for v in viol) > collect_cap:
@@ -327,7 +395,7 @@ def refine_uncertified(
                 break
         if gave:
             stats.append(RefineStats(int(img), -1, 0, 0, False, gave,
-                                     time.time() - t0))
+                                     time.time() - t0, pre_alpha))
             if on_image:
                 on_image(stats[-1])
             continue
@@ -337,7 +405,7 @@ def refine_uncertified(
             # every cell already passes under this pass's evaluation
             certified[img] = True
             stats.append(RefineStats(int(img), 0, 0, 0, True, "",
-                                     time.time() - t0))
+                                     time.time() - t0, pre_alpha))
             if on_image:
                 on_image(stats[-1])
             continue
@@ -349,15 +417,17 @@ def refine_uncertified(
         if ok:
             certified[img] = True
         stats.append(RefineStats(int(img), len(centers), rounds, boxes, ok,
-                                 gave, time.time() - t0))
+                                 gave, time.time() - t0, pre_alpha))
         if on_image:
             on_image(stats[-1])
         if progress_every and (k + 1) % progress_every == 0:
             done = sum(1 for s in stats if s.certified)
             print(
                 f"[refine] {k + 1}/{len(todo)} images, recovered {done} "
-                f"(last: img {img} viol={len(centers)} rounds={rounds} "
-                f"boxes={boxes} ok={ok}{' ' + gave if gave else ''})",
+                f"(last: img {img} viol={len(centers)}"
+                f"{f'/pre-alpha {pre_alpha}' if alpha_iters else ''} "
+                f"rounds={rounds} boxes={boxes} ok={ok}"
+                f"{' ' + gave if gave else ''})",
                 flush=True,
             )
     return certified, stats

@@ -692,6 +692,40 @@ class TestRefinement:
         assert re_stats == []
         np.testing.assert_array_equal(re_cert, full_cert)
 
+    def test_refine_alpha_evaluator_sound_and_no_looser(self, tmp_path):
+        # alpha-CROWN box evaluator (alpha_iters > 0): the refined set must
+        # still be inside the exact-grid certified set (soundness), never
+        # below the plain-evaluator refinement on the same budgets (the
+        # alpha bound is pointwise <= plain — its violated sets and
+        # frontiers are subsets), and the stats must record the plain
+        # violated count alongside the post-filter frontier size
+        from fiode_tpu.verify.refine import refine_uncertified
+
+        maker = TestCertifierEndToEnd()
+        model, params, x = maker._make(tmp_path)
+        y = np.asarray([0, 1, 2, 0, 1, 2])
+        cert = Certifier(model, params, T=8, eps_input=0.1, chunk=64)
+        res_c = cert.certify(np.asarray(x), y, method="crown",
+                             early_exit=False)
+        res_l = cert.certify(np.asarray(x), y, method="lipschitz",
+                             early_exit=False)
+        kw = dict(clean=res_c.clean, chunk=64, superchunk=4, max_rounds=6,
+                  frontier_cap=4096, box_budget=20000)
+        plain_cert, _ = refine_uncertified(
+            cert, np.asarray(x), y, res_c.certified, **kw)
+        a_cert, a_stats = refine_uncertified(
+            cert, np.asarray(x), y, res_c.certified, alpha_iters=2, **kw)
+        assert (~res_c.certified | a_cert).all(), "alpha refinement lost one"
+        assert (~plain_cert | a_cert).all(), (
+            "alpha evaluator certified fewer than plain on same budgets"
+        )
+        assert (~a_cert | res_l.larger_T_certified).all(), (
+            "alpha refinement certified an image with exact grid violations"
+        )
+        for s in a_stats:
+            # the alpha filter can only shrink the frontier vs plain sweep
+            assert s.pre_alpha_violated >= s.base_violated >= 0
+
     def test_split_children_cover_parent_in_fp32(self):
         # the children's union must cover the parent box exactly in fp32 —
         # no sliver at the split plane or the outer edges (regression for

@@ -54,6 +54,14 @@ def main(argv=None):
     sp.add_argument("--resume", action="store_true",
                     help="continue from the run dir's resume checkpoint "
                     "(full optimizer/PRNG state, written every eval)")
+    sp.add_argument("--multihost", action="store_true",
+                    help="initialize the JAX distributed runtime before "
+                    "training (run the SAME command on every process; "
+                    "cluster shape auto-detected on TPU pods, else set "
+                    "JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
+                    "JAX_PROCESS_ID — see parallel/multihost.py). The "
+                    "data mesh then spans all hosts' devices; non-zero "
+                    "processes log/checkpoint under RUN/proc<i>/")
 
     sp = add("sample-grid", "certify")
     sp.add_argument("--out", default=None)
@@ -101,10 +109,21 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.cmd == "train":
+        run_dir = args.run_dir
+        if args.multihost:
+            # must precede every other JAX call so jax.devices() is global
+            from .parallel.multihost import bootstrap_multihost
+
+            idx, count = bootstrap_multihost()
+            print(f"[multihost] process {idx}/{count}", flush=True)
+            if idx and run_dir:
+                # one writer per artifact: secondary processes keep their
+                # own log/ckpt dirs instead of clobbering process 0's
+                run_dir = f"{run_dir}/proc{idx}"
         from .experiment import run_train
 
         cfg = _compose(args, "train")
-        run_train(cfg, run_dir=args.run_dir, epochs=args.epochs,
+        run_train(cfg, run_dir=run_dir, epochs=args.epochs,
                   test_adv=args.test_adv, resume=args.resume)
     elif args.cmd == "sample-grid":
         from .experiment import run_sample_grid

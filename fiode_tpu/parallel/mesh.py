@@ -49,10 +49,28 @@ def data_sharding(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch, axis: str = "data"):
-    """device_put each array in the pytree with dim-0 sharding."""
-    return jax.tree_util.tree_map(
-        lambda a: jax.device_put(a, data_sharding(mesh, a.ndim, axis)), batch
-    )
+    """Shard each array in the pytree along dim 0 over ``axis``.
+
+    Arrays are the GLOBAL logical batch.  Single-process: one device_put.
+    Multi-host (``jax.process_count() > 1`` after
+    parallel.multihost.bootstrap_multihost): every process holds the same
+    replicated global batch (deterministic input pipeline — see
+    multihost.py) and contributes its own rows via
+    ``jax.make_array_from_process_local_data``, yielding one global jax
+    Array per leaf exactly as jit expects."""
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, data_sharding(mesh, a.ndim, axis)),
+            batch,
+        )
+    from .multihost import process_rows
+
+    def put(a):
+        sh = data_sharding(mesh, a.ndim, axis)
+        local = np.asarray(a)[process_rows(a.shape[0])]
+        return jax.make_array_from_process_local_data(sh, local, a.shape)
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 def replicate(mesh: Mesh, tree):

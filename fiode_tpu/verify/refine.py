@@ -56,6 +56,31 @@ class RefineStats:
     pre_alpha_violated: int = -2
 
 
+def _row_placer(cert):
+    """SPMD: rows (cells / frontier boxes) are embarrassingly parallel, so
+    a Certifier mesh shards them over its cell axis; GSPMD propagates the
+    operand placement through the jitted kernels, no kernel changes.
+    Mirrors certify._mesh_placers' cell-axis rule exactly: a 1-D mesh of
+    any name shards rows; a multi-axis mesh shards over "cell" when
+    present and otherwise replicates (diverging from that rule here
+    would shard refine differently from the main sweep on custom meshes).
+    """
+    names = cert.mesh.axis_names if cert.mesh is not None else ()
+    cell_ax = names[0] if len(names) == 1 else (
+        "cell" if "cell" in names else None
+    )
+    if cell_ax is None:
+        return lambda a, dim: a
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def place_rows(a, dim):
+        spec = [None] * a.ndim
+        spec[dim] = cell_ax
+        return jax.device_put(a, NamedSharding(cert.mesh, P(*spec)))
+
+    return place_rows
+
+
 def _kernels(cert, alpha_iters: int = 0):
     """Build the jitted kernels for one Certifier's refinement pass.
 
@@ -88,26 +113,7 @@ def _kernels(cert, alpha_iters: int = 0):
     a1, a2, s1 = cert.alpha_1, cert.alpha_2, cert.sigma_1
     kappa, eps0 = cert.kappa, cert.eps
 
-    # SPMD: rows (cells / frontier boxes) are embarrassingly parallel, so
-    # a Certifier mesh shards them over its cell axis; GSPMD propagates the
-    # operand placement through the jitted kernels, no kernel changes
-    # mirror certify._mesh_placers' cell-axis rule exactly: a 1-D mesh of
-    # any name shards rows; a multi-axis mesh shards over "cell" when
-    # present and otherwise replicates (diverging from that rule here
-    # would shard refine differently from the main sweep on custom meshes)
-    names = cert.mesh.axis_names if cert.mesh is not None else ()
-    cell_ax = names[0] if len(names) == 1 else (
-        "cell" if "cell" in names else None
-    )
-    if cell_ax is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        def place_rows(a, dim):
-            spec = [None] * a.ndim
-            spec[dim] = cell_ax
-            return jax.device_put(a, NamedSharding(cert.mesh, P(*spec)))
-    else:
-        place_rows = lambda a, dim: a
+    place_rows = _row_placer(cert)
 
     def post(eta_l, eps, label, lb, ub):
         # the certificate chain after the MLP bounds (shared with alpha's
@@ -153,55 +159,83 @@ def _kernels(cert, alpha_iters: int = 0):
     box_val = alpha_val if alpha_iters > 0 else val
 
     @jax.jit
-    def box_vals_fn(eta_l, eps, x_bias, label):  # (C, n), (C, n) boxes
-        with jax.default_matmul_precision(cert.matmul_precision):
-            return box_val(eta_l, eps, x_bias, label)
+    def box_vals_fn(etas_l, epss, x_bias, label):  # (K, C, n) boxes
+        def body(ce):
+            c, e = ce
+            with jax.default_matmul_precision(cert.matmul_precision):
+                return box_val(c, e, x_bias, label)
+
+        return jax.lax.map(body, (etas_l, epss))
 
     # the backward pass costs ~2x the forward: run it only on boxes that
     # stayed open (they need a split dim), not on the whole frontier
     @jax.jit
-    def grad_fn(eta_l, eps, x_bias, label):
-        with jax.default_matmul_precision(cert.matmul_precision):
-            vals, vjp = jax.vjp(lambda e: val(eta_l, e, x_bias, label), eps)
-            (g,) = vjp(jnp.ones_like(vals))
-            return g
+    def grad_fn(etas_l, epss, x_bias, label):  # (K, C, n) boxes
+        def body(ce):
+            c, e = ce
+            with jax.default_matmul_precision(cert.matmul_precision):
+                vals, vjp = jax.vjp(
+                    lambda ee: val(c, ee, x_bias, label), e
+                )
+                (g,) = vjp(jnp.ones_like(vals))
+                return g
+
+        return jax.lax.map(body, (etas_l, epss))
 
     return sweep_fn, box_vals_fn, grad_fn, place_rows
 
 
 def _chunked(fn, cs, es, out_dims, *, chunk, n, eps0, x_bias, label,
-             place_rows):
-    """Host-chunked evaluation of a jitted (C, n)-box kernel over any
-    number of rows, padding the tail to the static kernel shape."""
+             place_rows, superchunk=16):
+    """Host-chunked evaluation of a jitted (K, C, n)-box kernel over any
+    number of rows, padding the tail to a static kernel shape.
+
+    Each jitted call covers ``superchunk * chunk`` rows (a lax.map over K
+    chunks inside ONE program): the TPU relay costs ~30ms per execution,
+    so per-``chunk`` dispatch caps box throughput at ~250k rows/s no
+    matter how fast the kernel is — superchunking moved the BaB frontier
+    sweep from ~56k boxes/s (round-3 passes) to the main sweep's regime.
+    Tails use the smallest power-of-two K that covers them, so a
+    nearly-closed image doesn't pad every round to the full block and at
+    most log2(superchunk)+1 block shapes ever compile per kernel.
+    """
     out = np.empty((len(cs),) + out_dims, np.float32)
-    for i in range(0, len(cs), chunk):
-        c = cs[i : i + chunk]
-        e = es[i : i + chunk]
+    i = 0
+    while i < len(cs):
+        need = -(-(len(cs) - i) // chunk)  # ceil chunks remaining
+        K = 1
+        while K < need and K < superchunk:
+            K *= 2
+        block = K * chunk
+        c = cs[i : i + block]
+        e = es[i : i + block]
         npad = len(c)
-        if npad < chunk:  # pad to the static kernel shape
-            c = np.concatenate([c, np.zeros((chunk - npad, n), c.dtype)])
+        if npad < block:  # pad to the static kernel shape
+            c = np.concatenate([c, np.zeros((block - npad, n), c.dtype)])
             e = np.concatenate(
-                [e, np.full((chunk - npad, n), eps0, e.dtype)]
+                [e, np.full((block - npad, n), eps0, e.dtype)]
             )
         r = fn(
-            place_rows(jnp.asarray(c), 0),
-            place_rows(jnp.asarray(e), 0),
+            place_rows(jnp.asarray(c.reshape(K, chunk, n)), 1),
+            place_rows(jnp.asarray(e.reshape(K, chunk, n)), 1),
             x_bias, label,
         )
-        out[i : i + npad] = np.asarray(r)[:npad]
+        out[i : i + npad] = np.asarray(r).reshape((block,) + out_dims)[:npad]
+        i += npad
     return out
 
 
 def _bab(box_vals_fn, grad_fn, x_bias, label, centers, eps0, n, *, chunk,
          max_rounds, frontier_cap, box_budget,
-         place_rows=lambda a, dim: a):
+         place_rows=lambda a, dim: a, superchunk=16):
     """Frontier BaB over one image's violated cells.
 
     Returns (closed, rounds, boxes_evaluated, gave_up)."""
 
     def chunked(fn, cs, es, out_dims):
         return _chunked(fn, cs, es, out_dims, chunk=chunk, n=n, eps0=eps0,
-                        x_bias=x_bias, label=label, place_rows=place_rows)
+                        x_bias=x_bias, label=label, place_rows=place_rows,
+                        superchunk=superchunk)
 
     fc = centers.astype(np.float32)
     fe = np.full_like(fc, eps0)
@@ -386,6 +420,7 @@ def refine_uncertified(
                     np.full_like(cells, cert.eps), (),
                     chunk=chunk, n=n, eps0=cert.eps, x_bias=xb,
                     label=label, place_rows=place_rows,
+                    superchunk=superchunk,
                 )
                 bad = bad[~(avals <= 0.0)]
             if len(bad):
@@ -413,6 +448,7 @@ def refine_uncertified(
             box_vals_fn, grad_fn, xb, label, centers, cert.eps, n,
             chunk=chunk, max_rounds=max_rounds, frontier_cap=frontier_cap,
             box_budget=box_budget, place_rows=place_rows,
+            superchunk=superchunk,
         )
         if ok:
             certified[img] = True

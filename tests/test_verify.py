@@ -726,6 +726,68 @@ class TestRefinement:
             # the alpha filter can only shrink the frontier vs plain sweep
             assert s.pre_alpha_violated >= s.base_violated >= 0
 
+    def test_lips_box_evaluator_consistent_with_sweep(self, tmp_path):
+        # at a base grid cell (on-lattice center, uniform 1/T widths) the
+        # box bound must dominate the sweep value (its P-runner max is a
+        # superset of the exact-tie runner max; slack and eta_ub match),
+        # and a box far off the simplex plane must be masked infeasible
+        from fiode_tpu.verify.refine_lips import _lips_kernels
+
+        maker = TestCertifierEndToEnd()
+        model, params, x = maker._make(tmp_path)
+        cert = Certifier(model, params, T=8, eps_input=0.1, chunk=32)
+        sweep_fn, box_vals_fn, grad_fn, _ = _lips_kernels(cert)
+        feats = jnp.asarray(
+            np.asarray(cert._features(cert.params, jnp.asarray(x)))[0]
+        )
+        g = cert.grid.copy()  # label 0: identity perm
+        C = len(g)
+        etas = jnp.asarray(g.reshape(1, C, 3))
+        sweep = np.asarray(sweep_fn(etas, feats, 0)).reshape(-1)
+        eps_u = np.full_like(g, cert.eps)
+        epss = jnp.asarray(eps_u.reshape(1, C, 3))
+        box = np.asarray(box_vals_fn(etas, epss, feats, 0)).reshape(-1)
+        assert (box >= sweep - 1e-5).all(), (
+            "box bound fell below the base sweep value it must dominate"
+        )
+        # off-plane box: sum(lo) > 1 -> provably no boundary point inside
+        far = jnp.asarray((g + 1.0).reshape(1, C, 3))
+        small = jnp.asarray(np.full_like(g, 1e-4).reshape(1, C, 3))
+        vals = np.asarray(box_vals_fn(far, small, feats, 0)).reshape(-1)
+        assert (vals == -np.inf).all(), "infeasible box not masked"
+        # gradients exist and are finite (split heuristic input)
+        gr = np.asarray(grad_fn(etas, epss, feats, 0))
+        assert np.isfinite(gr).all()
+
+    def test_refine_lips_sound_and_only_adds(self, tmp_path):
+        # Lipschitz refinement may only add certificates, must stay inside
+        # the exact-grid (larger-T) certified set, and must mark images
+        # with exact lattice violations as unrefinable without work
+        from fiode_tpu.verify.refine_lips import refine_lips_uncertified
+
+        maker = TestCertifierEndToEnd()
+        model, params, x = maker._make(tmp_path)
+        y = np.asarray([0, 1, 2, 0, 1, 2])
+        cert = Certifier(model, params, T=8, eps_input=0.1, chunk=64)
+        res_l = cert.certify(np.asarray(x), y, method="lipschitz",
+                             early_exit=False)
+        new_cert, stats = refine_lips_uncertified(
+            cert, np.asarray(x), y, res_l.certified,
+            exact_ok=res_l.larger_T_certified, clean=res_l.clean,
+            chunk=64, superchunk=4, max_rounds=8, frontier_cap=4096,
+            box_budget=40000,
+        )
+        assert (~res_l.certified | new_cert).all(), "lips refinement lost one"
+        assert (~new_cert | res_l.larger_T_certified).all(), (
+            "lips refinement certified an image with exact grid violations"
+        )
+        assert len(stats) == int((res_l.clean & ~res_l.certified).sum())
+        for s in stats:
+            assert s.certified == bool(new_cert[s.image])
+            if not res_l.larger_T_certified[s.image]:
+                assert s.gave_up == "exact_violation" and not s.certified
+                assert s.boxes_evaluated == 0
+
     def test_split_children_cover_parent_in_fp32(self):
         # the children's union must cover the parent box exactly in fp32 —
         # no sliver at the split plane or the outer edges (regression for
@@ -760,8 +822,8 @@ class TestRefinement:
         # (vals > 0 would treat NaN as closed)
         from fiode_tpu.verify.refine import _bab
 
-        def nan_vals(c, e, xb, lab):
-            return jnp.full(e.shape[0], jnp.nan)
+        def nan_vals(c, e, xb, lab):  # (K, C, n) -> (K, C)
+            return jnp.full(e.shape[:-1], jnp.nan)
 
         def fake_grads(c, e, xb, lab):
             return jnp.ones_like(e)

@@ -8,7 +8,9 @@ Usage (hydra-compatible override spelling):
     (++mesh_shape=[n_img,n_cell] shards certification over a 2-D device
      mesh; a single int shards the cell axis over a 1-D mesh;
      ++refine_rounds=N turns on BaB cell refinement of clean-but-
-     uncertified images after the crown sweep — see verify/refine.py)
+     uncertified images after the sweep: crown boxes via verify/refine.py
+     with ++refine_alpha_iters=K for an alpha-CROWN box evaluator, the
+     lipschitz grid-gap slack via verify/refine_lips.py)
   python -m fiode_tpu eval-autoattack   --config-name cifar_certify --run-dir RUN
   python -m fiode_tpu summarize-stream  RUN/certify_stream.jsonl [--out SUMMARY.json]
   python -m fiode_tpu segway-train   [--save PATH]

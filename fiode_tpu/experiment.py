@@ -287,20 +287,35 @@ def run_certify(cfg: dict, method: str = "crown", run_dir: str = ".",
             progress_every=10,
         )
     refine_rounds = int(cfg.get("refine_rounds", 0))
-    if refine_rounds > 0 and method == "crown":
+    if refine_rounds > 0:
         # BaB cell refinement over clean-but-uncertified images
-        # (capability beyond the reference; verify/refine.py)
-        from .verify.refine import refine_uncertified
-
-        new_cert, rstats = refine_uncertified(
-            cert, ds.test_x[start:end], ds.test_y[start:end],
-            res.certified, clean=res.clean, chunk=cert.chunk,
+        # (capability beyond the reference; verify/refine.py for crown,
+        # verify/refine_lips.py for the lipschitz grid-gap slack;
+        # ++refine_alpha_iters>0 swaps the crown box evaluator for
+        # alpha-CROWN)
+        rkw = dict(
+            clean=res.clean, chunk=cert.chunk,
             max_rounds=refine_rounds,
             frontier_cap=int(cfg.get("refine_frontier_cap", 1 << 20)),
             box_budget=int(cfg.get("refine_box_budget", 64_000_000)),
             collect_cap=int(cfg.get("refine_collect_cap", 4_000_000)),
             progress_every=1,
         )
+        if method == "crown":
+            from .verify.refine import refine_uncertified
+
+            new_cert, rstats = refine_uncertified(
+                cert, ds.test_x[start:end], ds.test_y[start:end],
+                res.certified,
+                alpha_iters=int(cfg.get("refine_alpha_iters", 0)), **rkw,
+            )
+        else:
+            from .verify.refine_lips import refine_lips_uncertified
+
+            new_cert, rstats = refine_lips_uncertified(
+                cert, ds.test_x[start:end], ds.test_y[start:end],
+                res.certified, exact_ok=res.larger_T_certified, **rkw,
+            )
         rec = int(new_cert.sum() - res.certified.sum())
         print(f"[refine] recovered {rec} of "
               f"{int((res.clean & ~res.certified).sum())} uncertified "

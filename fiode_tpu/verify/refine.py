@@ -87,12 +87,12 @@ def _kernels(cert, alpha_iters: int = 0):
     ``sweep_fn`` re-evaluates base cells at the uniform scalar eps — the
     exact per-cell quantity whose running max the main sweep reduces —
     returning per-cell values so violated cells can be located.
-    ``box_vals_fn`` bounds a frontier of anisotropic boxes; ``grad_fn``
-    returns the half-width gradients for the split heuristic (run only on
-    boxes that stayed open).  All take the image's x_bias as a traced
-    argument so one compile serves every image.
+    ``box_step_fn`` bounds a frontier of anisotropic boxes AND returns
+    each box's split dim in the same fused program (see its body for why).
+    All take the image's x_bias as a traced argument so one compile
+    serves every image.
 
-    ``alpha_iters > 0`` swaps the box evaluator (``box_vals_fn``) for an
+    ``alpha_iters > 0`` swaps the box bound inside ``box_step_fn`` for an
     alpha-CROWN one: ReLU lower slopes are optimized per box against the
     smooth bound-width surrogate, with the best iterate selected by the
     certified quantity itself — never looser than plain CROWN (iterate 0
@@ -101,8 +101,8 @@ def _kernels(cert, alpha_iters: int = 0):
     needs no new argument.  ``sweep_fn`` stays plain CROWN: because the
     alpha bound is pointwise <= the plain bound, the plain sweep's violated
     set is a superset of alpha's — the caller filters it through
-    ``box_vals_fn`` instead of paying alpha on all cells.  ``grad_fn``
-    keeps plain-CROWN gradients (only the split-dim CHOICE uses them;
+    ``box_step_fn`` instead of paying alpha on all cells.  The split-dim
+    gradient stays plain-CROWN either way (only the split CHOICE uses it;
     any choice is sound).
     """
     from .crown import crown_mlp_bounds, optimize_crown_alphas
@@ -158,34 +158,34 @@ def _kernels(cert, alpha_iters: int = 0):
 
     box_val = alpha_val if alpha_iters > 0 else val
 
+    # ONE fused kernel returns (value, split dim) per box.  The split dim
+    # is argmax_d eps_d * |dval/deps_d| from a vjp of the PLAIN bound
+    # (sound for any choice; the alpha bound's gradient would multiply the
+    # cost for a heuristic).  Computing it device-side for every box —
+    # including ones that turn out closed — trades ~2x kernel flops for
+    # eliminating a second dispatch round and shrinking the device->host
+    # traffic from the (N, n) gradient plus a re-upload of open boxes to
+    # two (N,) vectors: through the relay, transfers dominate kernel time
+    # (round-3 BaB ran at ~56k boxes/s while the same bound sweeps at
+    # ~3.8M cells/s).
     @jax.jit
-    def box_vals_fn(etas_l, epss, x_bias, label):  # (K, C, n) boxes
+    def box_step_fn(etas_l, epss, x_bias, label):  # (K, C, n) boxes
         def body(ce):
             c, e = ce
             with jax.default_matmul_precision(cert.matmul_precision):
-                return box_val(c, e, x_bias, label)
+                v = box_val(c, e, x_bias, label)
+                _, vjp = jax.vjp(lambda ee: val(c, ee, x_bias, label), e)
+                (g,) = vjp(jnp.ones_like(v))
+                # +tiny: a vanished gradient degrades to widest-dim split
+                score = e * (jnp.abs(jnp.nan_to_num(g)) + 1e-30)
+                return v, jnp.argmax(score, axis=-1).astype(jnp.int32)
 
         return jax.lax.map(body, (etas_l, epss))
 
-    # the backward pass costs ~2x the forward: run it only on boxes that
-    # stayed open (they need a split dim), not on the whole frontier
-    @jax.jit
-    def grad_fn(etas_l, epss, x_bias, label):  # (K, C, n) boxes
-        def body(ce):
-            c, e = ce
-            with jax.default_matmul_precision(cert.matmul_precision):
-                vals, vjp = jax.vjp(
-                    lambda ee: val(c, ee, x_bias, label), e
-                )
-                (g,) = vjp(jnp.ones_like(vals))
-                return g
-
-        return jax.lax.map(body, (etas_l, epss))
-
-    return sweep_fn, box_vals_fn, grad_fn, place_rows
+    return sweep_fn, box_step_fn, place_rows
 
 
-def _chunked(fn, cs, es, out_dims, *, chunk, n, eps0, x_bias, label,
+def _chunked(fn, cs, es, out_specs, *, chunk, n, eps0, x_bias, label,
              place_rows, superchunk=16):
     """Host-chunked evaluation of a jitted (K, C, n)-box kernel over any
     number of rows, padding the tail to a static kernel shape.
@@ -198,8 +198,12 @@ def _chunked(fn, cs, es, out_dims, *, chunk, n, eps0, x_bias, label,
     Tails use the smallest power-of-two K that covers them, so a
     nearly-closed image doesn't pad every round to the full block and at
     most log2(superchunk)+1 block shapes ever compile per kernel.
+
+    ``out_specs`` is a list of (trailing_dims, dtype) — one per output of
+    ``fn`` (which may return a single array or a tuple).  Returns a list
+    of stacked outputs (or the single array when one spec is given).
     """
-    out = np.empty((len(cs),) + out_dims, np.float32)
+    outs = [np.empty((len(cs),) + d, t) for d, t in out_specs]
     i = 0
     while i < len(cs):
         need = -(-(len(cs) - i) // chunk)  # ceil chunks remaining
@@ -220,60 +224,54 @@ def _chunked(fn, cs, es, out_dims, *, chunk, n, eps0, x_bias, label,
             place_rows(jnp.asarray(e.reshape(K, chunk, n)), 1),
             x_bias, label,
         )
-        out[i : i + npad] = np.asarray(r).reshape((block,) + out_dims)[:npad]
+        if not isinstance(r, (tuple, list)):
+            r = (r,)
+        for out, (dims, _), ri in zip(outs, out_specs, r):
+            out[i : i + npad] = (
+                np.asarray(ri).reshape((block,) + dims)[:npad]
+            )
         i += npad
-    return out
+    return outs if len(outs) > 1 else outs[0]
 
 
-def _bab(box_vals_fn, grad_fn, x_bias, label, centers, eps0, n, *, chunk,
+def _bab(box_step_fn, x_bias, label, centers, eps0, n, *, chunk,
          max_rounds, frontier_cap, box_budget,
          place_rows=lambda a, dim: a, superchunk=16):
     """Frontier BaB over one image's violated cells.
 
+    ``box_step_fn(etas, epss, x_bias, label) -> (vals, split_dims)`` —
+    the fused bound + split-dim kernel (see _kernels).
+
     Returns (closed, rounds, boxes_evaluated, gave_up)."""
 
-    def chunked(fn, cs, es, out_dims):
-        return _chunked(fn, cs, es, out_dims, chunk=chunk, n=n, eps0=eps0,
-                        x_bias=x_bias, label=label, place_rows=place_rows,
-                        superchunk=superchunk)
+    def chunked(cs, es):
+        return _chunked(
+            box_step_fn, cs, es, [((), np.float32), ((), np.int32)],
+            chunk=chunk, n=n, eps0=eps0, x_bias=x_bias, label=label,
+            place_rows=place_rows, superchunk=superchunk,
+        )
 
     fc = centers.astype(np.float32)
     fe = np.full_like(fc, eps0)
     rounds = 0
     boxes = 0
-    first = True
     while len(fc):
         if rounds >= max_rounds:
             return False, rounds, boxes, "rounds"
         if len(fc) > frontier_cap:
             return False, rounds, boxes, "frontier_cap"
-        if first:
-            # the initial frontier is exactly the collected violated cells:
-            # every one is open by construction (and the vector-eps path
-            # agrees with the scalar sweep to rounding), so go straight to
-            # splitting instead of re-bounding the same boxes
-            open_mask = np.ones(len(fc), bool)
-            first = False
-        else:
-            if boxes + len(fc) > box_budget:
-                return False, rounds, boxes, "budget"
-            vals = chunked(box_vals_fn, fc, fe, ())
-            boxes += len(fc)
-            rounds += 1
-            # fail CLOSED on NaN: a non-finite bound is an open box, never
-            # a pass (vals > 0 would silently certify through a NaN)
-            open_mask = ~(vals <= 0.0)
-            if not open_mask.any():
-                return True, rounds, boxes, ""
-        oc, oe = fc[open_mask], fe[open_mask]
-        # split-dim gradients only for the open boxes (the backward pass
-        # costs ~2x the forward; closed boxes never need it)
-        og = chunked(grad_fn, oc, oe, (n,))
-        # split dim: largest width x |sensitivity|; the +tiny makes a
-        # vanished gradient degrade to widest-dim splitting
-        score = oe * (np.abs(np.nan_to_num(og)) + 1e-30)
-        d = np.argmax(score, axis=1)
-        lo, hi, ce_lo, ce_hi = _split_children(oc, oe, d)
+        if boxes + len(fc) > box_budget:
+            return False, rounds, boxes, "budget"
+        vals, dims = chunked(fc, fe)
+        boxes += len(fc)
+        rounds += 1
+        # fail CLOSED on NaN: a non-finite bound is an open box, never
+        # a pass (vals > 0 would silently certify through a NaN)
+        open_mask = ~(vals <= 0.0)
+        if not open_mask.any():
+            return True, rounds, boxes, ""
+        oc, oe, od = fc[open_mask], fe[open_mask], dims[open_mask]
+        lo, hi, ce_lo, ce_hi = _split_children(oc, oe, od)
         fc = np.concatenate([lo, hi])
         fe = np.concatenate([ce_lo, ce_hi])
     return True, rounds, boxes, ""
@@ -372,7 +370,7 @@ def refine_uncertified(
     if not len(todo):
         return certified, stats
 
-    sweep_fn, box_vals_fn, grad_fn, place_rows = _kernels(
+    sweep_fn, box_step_fn, place_rows = _kernels(
         cert, alpha_iters=alpha_iters
     )
     feats = np.asarray(cert._features(cert.params, jnp.asarray(images[todo])))
@@ -415,9 +413,10 @@ def refine_uncertified(
                 # iterate selected by the certified quantity, starting from
                 # plain's slopes), so cells it closes need no refinement
                 cells = pblock[bad]
-                avals = _chunked(
-                    box_vals_fn, cells,
-                    np.full_like(cells, cert.eps), (),
+                avals, _ = _chunked(
+                    box_step_fn, cells,
+                    np.full_like(cells, cert.eps),
+                    [((), np.float32), ((), np.int32)],
                     chunk=chunk, n=n, eps0=cert.eps, x_bias=xb,
                     label=label, place_rows=place_rows,
                     superchunk=superchunk,
@@ -445,7 +444,7 @@ def refine_uncertified(
                 on_image(stats[-1])
             continue
         ok, rounds, boxes, gave = _bab(
-            box_vals_fn, grad_fn, xb, label, centers, cert.eps, n,
+            box_step_fn, xb, label, centers, cert.eps, n,
             chunk=chunk, max_rounds=max_rounds, frontier_cap=frontier_cap,
             box_budget=box_budget, place_rows=place_rows,
             superchunk=superchunk,

@@ -67,10 +67,10 @@ def _lips_kernels(cert):
     ``sweep_fn`` reproduces the base sweep's per-cell value (exact-runner
     Vdot + global-gap slack + kappa_lips) so violated cells can be
     located — identical math to Certifier._make_lips_chunk's ``one``
-    before its max reduction.  ``box_vals_fn`` is the per-box bound from
-    the module docstring; ``grad_fn`` its half-width gradients for the
-    split heuristic.  The x_bias slot of the shared _bab driver carries
-    the image's backbone features.
+    before its max reduction.  ``box_step_fn`` fuses the per-box bound
+    from the module docstring with its half-width-gradient split dim
+    (relay transfers dominate — see refine._kernels).  The x_bias slot of
+    the shared _bab driver carries the image's backbone features.
     """
     params = cert.params
     model = cert.model
@@ -146,30 +146,22 @@ def _lips_kernels(cert):
         return jax.lax.map(body, etas_l)
 
     @jax.jit
-    def box_vals_fn(etas_c, epss, feats, label):  # (K, C, n) boxes
-        def body(ce):
-            c, e = ce
-            with jax.default_matmul_precision(cert.matmul_precision):
-                return box_val(c, e, feats, label)
-
-        return jax.lax.map(body, (etas_c, epss))
-
-    @jax.jit
-    def grad_fn(etas_c, epss, feats, label):  # (K, C, n) boxes
+    def box_step_fn(etas_c, epss, feats, label):  # (K, C, n) boxes
         # eps sensitivity only flows through slack / eta_ub / feasibility
         # masks (the center eval is eps-independent): cheap backward
         def body(ce):
             c, e = ce
             with jax.default_matmul_precision(cert.matmul_precision):
-                vals, vjp = jax.vjp(
+                v, vjp = jax.vjp(
                     lambda ee: box_val(c, ee, feats, label), e
                 )
-                (g,) = vjp(jnp.ones_like(vals))
-                return g
+                (g,) = vjp(jnp.ones_like(v))
+                score = e * (jnp.abs(jnp.nan_to_num(g)) + 1e-30)
+                return v, jnp.argmax(score, axis=-1).astype(jnp.int32)
 
         return jax.lax.map(body, (etas_c, epss))
 
-    return sweep_fn, box_vals_fn, grad_fn, place_rows
+    return sweep_fn, box_step_fn, place_rows
 
 
 def refine_lips_uncertified(
@@ -225,7 +217,7 @@ def refine_lips_uncertified(
         exact_ok = r.larger_T_certified
     exact_ok = np.asarray(exact_ok, bool)
 
-    sweep_fn, box_vals_fn, grad_fn, place_rows = _lips_kernels(cert)
+    sweep_fn, box_step_fn, place_rows = _lips_kernels(cert)
     feats = np.asarray(
         cert._features(cert.params, jnp.asarray(images[todo]))
     )
@@ -285,11 +277,10 @@ def refine_lips_uncertified(
             if on_image:
                 on_image(stats[-1])
             continue
-        # seed frontier with the violated cells' covered L-inf balls: the
-        # box evaluator's bound there is >= the sweep's (P-runner superset)
-        # so every seed is open under it and _bab's skip-first-eval holds
+        # seed frontier with the violated cells' covered L-inf balls (the
+        # box evaluator's bound there is >= the sweep's — P-runner superset)
         ok, rounds, boxes, gave = _bab(
-            box_vals_fn, grad_fn, ft, label, centers, cert.eps, n,
+            box_step_fn, ft, label, centers, cert.eps, n,
             chunk=chunk, max_rounds=max_rounds, frontier_cap=frontier_cap,
             box_budget=box_budget, place_rows=place_rows,
             superchunk=superchunk,

@@ -54,6 +54,16 @@ class TestExperimentE2E:
         )
         assert (~res_c.certified | res_r.certified).all()
 
+        # lipschitz refinement through the same entry point: gains only,
+        # and never beyond the exact-grid set (verify/refine_lips.py)
+        res_lr = run_certify(
+            dict(cert_cfg, refine_rounds=3, refine_box_budget=3000,
+                 chunk=64),
+            method="lipschitz", run_dir=run_dir, max_images=4,
+        )
+        assert (~res.certified | res_lr.certified).all()
+        assert (~res_lr.certified | res.larger_T_certified).all()
+
         # same entry point on a 2-D (img x cell) mesh: identical verdicts
         res_m = run_certify(dict(cert_cfg, mesh_shape=[2, 4]),
                             method="crown", run_dir=run_dir, max_images=2)

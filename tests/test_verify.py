@@ -607,29 +607,30 @@ class TestRefinement:
     def test_bab_mechanics_on_analytic_bound(self):
         # analytic "bound": val = sum(eps) - 0.3 (loose for wide boxes,
         # exactly refinable) -> BaB must close it; val = sum(eps) + 0.1
-        # can never close -> budget trip, not an infinite loop
+        # can never close -> budget trip, not an infinite loop.
+        # step fns return (vals, split_dims): widest-dim splits here
+        # (the constant-gradient score of the real kernel)
         from fiode_tpu.verify.refine import _bab
 
-        def fake_vals(c, e, xb, lab):
-            return jnp.sum(e, -1) - 0.3
-
-        def fake_grads(c, e, xb, lab):
-            return jnp.ones_like(e)
+        def fake_step(c, e, xb, lab):
+            return (jnp.sum(e, -1) - 0.3,
+                    jnp.argmax(e, -1).astype(jnp.int32))
 
         centers = np.zeros((3, 4), np.float32)
         ok, rounds, boxes, gave = _bab(
-            fake_vals, fake_grads, None, 0, centers, 0.2, 4, chunk=8,
+            fake_step, None, 0, centers, 0.2, 4, chunk=8,
             max_rounds=30, frontier_cap=1 << 16, box_budget=1 << 20,
         )
         assert ok and gave == ""
         # sum(eps)=0.8 must halve dims until < 0.3: reachable, few rounds
         assert rounds < 20
 
-        def fake_vals_hopeless(c, e, xb, lab):
-            return jnp.sum(e, -1) + 0.1
+        def fake_step_hopeless(c, e, xb, lab):
+            return (jnp.sum(e, -1) + 0.1,
+                    jnp.argmax(e, -1).astype(jnp.int32))
 
         ok, rounds, boxes, gave = _bab(
-            fake_vals_hopeless, fake_grads, None, 0, centers, 0.2, 4,
+            fake_step_hopeless, None, 0, centers, 0.2, 4,
             chunk=8, max_rounds=10, frontier_cap=1 << 12,
             box_budget=1 << 16,
         )
@@ -736,7 +737,8 @@ class TestRefinement:
         maker = TestCertifierEndToEnd()
         model, params, x = maker._make(tmp_path)
         cert = Certifier(model, params, T=8, eps_input=0.1, chunk=32)
-        sweep_fn, box_vals_fn, grad_fn, _ = _lips_kernels(cert)
+        sweep_fn, box_step_fn, _ = _lips_kernels(cert)
+        box_vals_fn = lambda *a: box_step_fn(*a)[0]
         feats = jnp.asarray(
             np.asarray(cert._features(cert.params, jnp.asarray(x)))[0]
         )
@@ -755,9 +757,9 @@ class TestRefinement:
         small = jnp.asarray(np.full_like(g, 1e-4).reshape(1, C, 3))
         vals = np.asarray(box_vals_fn(far, small, feats, 0)).reshape(-1)
         assert (vals == -np.inf).all(), "infeasible box not masked"
-        # gradients exist and are finite (split heuristic input)
-        gr = np.asarray(grad_fn(etas, epss, feats, 0))
-        assert np.isfinite(gr).all()
+        # split dims exist and are valid coordinates (heuristic output)
+        dims = np.asarray(box_step_fn(etas, epss, feats, 0)[1])
+        assert ((dims >= 0) & (dims < 3)).all()
 
     def test_refine_lips_sound_and_only_adds(self, tmp_path):
         # Lipschitz refinement may only add certificates, must stay inside
@@ -822,15 +824,13 @@ class TestRefinement:
         # (vals > 0 would treat NaN as closed)
         from fiode_tpu.verify.refine import _bab
 
-        def nan_vals(c, e, xb, lab):  # (K, C, n) -> (K, C)
-            return jnp.full(e.shape[:-1], jnp.nan)
-
-        def fake_grads(c, e, xb, lab):
-            return jnp.ones_like(e)
+        def nan_step(c, e, xb, lab):  # (K, C, n) -> ((K, C), (K, C))
+            return (jnp.full(e.shape[:-1], jnp.nan),
+                    jnp.zeros(e.shape[:-1], jnp.int32))
 
         centers = np.zeros((2, 4), np.float32)
         ok, rounds, boxes, gave = _bab(
-            nan_vals, fake_grads, None, 0, centers, 0.2, 4, chunk=8,
+            nan_step, None, 0, centers, 0.2, 4, chunk=8,
             max_rounds=4, frontier_cap=1 << 10, box_budget=1 << 14,
         )
         assert not ok and gave != ""

@@ -49,6 +49,8 @@ def main():
                     "BaB box evaluator (0 = plain CROWN). Tightens the "
                     "base bound for images whose plain-CROWN violated set "
                     "exceeds collect-cap; ~(2*iters+2)x per box")
+    ap.add_argument("--chunk", type=int, default=8192)
+    ap.add_argument("--superchunk", type=int, default=16)
     ap.add_argument("--out", default="refine_full.json")
     args = ap.parse_args()
 
@@ -162,6 +164,7 @@ def main():
         max_rounds=args.rounds, collect_cap=args.collect_cap,
         box_budget=args.box_budget, frontier_cap=args.frontier_cap,
         alpha_iters=args.alpha_iters,
+        chunk=args.chunk, superchunk=args.superchunk,
         progress_every=1, skip=skip, on_image=stream_image,
     )
     # fold resumed images' stats back in (fresh entries win on conflict);

@@ -158,6 +158,16 @@ def _kernels(cert, alpha_iters: int = 0):
 
     box_val = alpha_val if alpha_iters > 0 else val
 
+    def step_body(c, e, x_bias, label):
+        # fused bound + split-dim for one (C, n) chunk (see box_step_fn)
+        with jax.default_matmul_precision(cert.matmul_precision):
+            v = box_val(c, e, x_bias, label)
+            _, vjp = jax.vjp(lambda ee: val(c, ee, x_bias, label), e)
+            (g,) = vjp(jnp.ones_like(v))
+            # +tiny: a vanished gradient degrades to widest-dim split
+            score = e * (jnp.abs(jnp.nan_to_num(g)) + 1e-30)
+            return v, jnp.argmax(score, axis=-1).astype(jnp.int32)
+
     # ONE fused kernel returns (value, split dim) per box.  The split dim
     # is argmax_d eps_d * |dval/deps_d| from a vjp of the PLAIN bound
     # (sound for any choice; the alpha bound's gradient would multiply the
@@ -170,19 +180,182 @@ def _kernels(cert, alpha_iters: int = 0):
     # ~3.8M cells/s).
     @jax.jit
     def box_step_fn(etas_l, epss, x_bias, label):  # (K, C, n) boxes
-        def body(ce):
-            c, e = ce
-            with jax.default_matmul_precision(cert.matmul_precision):
-                v = box_val(c, e, x_bias, label)
-                _, vjp = jax.vjp(lambda ee: val(c, ee, x_bias, label), e)
-                (g,) = vjp(jnp.ones_like(v))
-                # +tiny: a vanished gradient degrades to widest-dim split
-                score = e * (jnp.abs(jnp.nan_to_num(g)) + 1e-30)
-                return v, jnp.argmax(score, axis=-1).astype(jnp.int32)
+        return jax.lax.map(
+            lambda ce: step_body(*ce, x_bias, label), (etas_l, epss)
+        )
 
-        return jax.lax.map(body, (etas_l, epss))
+    # device-resident BaB rounds (used by _device_bab for large frontiers;
+    # unavailable under a mesh — the host path places rows explicitly)
+    device_factory = (
+        None if cert.mesh is not None
+        else _device_round_factory(step_body, cert.n, cert.eps)
+    )
 
-    return sweep_fn, box_step_fn, place_rows
+    return sweep_fn, box_step_fn, place_rows, device_factory
+
+
+def _device_round_factory(step_body, n, eps0, eval_chunk=131072):
+    """Jitted device-resident BaB rounds, one program per frontier
+    capacity ``M``.
+
+    Host-side frontier management (``_bab``) pays an 80-bytes/row upload
+    per round plus per-call dispatch: through the TPU relay those
+    transfers dominate kernel time once frontiers reach millions of rows
+    (measured ~226k boxes/s vs the same bound sweeping at ~3.8M cells/s).
+    Here the frontier LIVES on device: one program evaluates every live
+    box, compacts the open ones to the front (stable argsort of the open
+    flag — the TPU sorts 33M keys in ~1s), and writes both covering
+    children in place; the host reads back two scalars per round (live
+    count + overflow flag) to enforce budgets.  Capacities are powers of
+    two (a handful of compiles); ``_device_bab`` grows/shrinks M as the
+    frontier evolves via trivial pad/slice programs.
+
+    Split arithmetic matches ``_split_children`` exactly (fp32 2-ulp
+    covering pad via nextafter — np.spacing(x) == nextafter(x, inf) - x
+    for the positive finite values here), so the device path certifies
+    the same boxes the host path would.
+
+    Returns ``make(M) -> round_fn(fc, fe, count, x_bias, label) ->
+    (fc', fe', count', overflow)``; rows past ``count`` are padding
+    (benign boxes) and never split.  On overflow (2 * open > M) the state
+    is the COMPACTED PARENTS, unsplit, so the caller can re-enter at a
+    larger capacity without losing work.
+    """
+    import functools
+
+    @functools.lru_cache(maxsize=None)
+    def make(M):
+        K = max(M // eval_chunk, 1)
+        C = M // K
+
+        @jax.jit
+        def round_fn(fc, fe, count, x_bias, label):
+            vals, dims = jax.lax.map(
+                lambda ce: step_body(*ce, x_bias, label),
+                (fc.reshape(K, C, n), fe.reshape(K, C, n)),
+            )
+            vals = vals.reshape(M)
+            dims = dims.reshape(M)
+            rows = jnp.arange(M, dtype=jnp.int32)
+            # fail CLOSED on NaN: only vals <= 0 closes a live box
+            open_ = (rows < count) & ~(vals <= 0.0)
+            n_open = jnp.sum(open_, dtype=jnp.int32)
+            order = jnp.argsort(jnp.where(open_, 0, 1).astype(jnp.int8),
+                                stable=True)
+            sc = jnp.take(fc, order, axis=0)
+            se = jnp.take(fe, order, axis=0)
+            sd = jnp.take(dims, order, axis=0)
+            overflow = (2 * n_open) > M
+            # children of the compacted parents (rows < n_open are real)
+            half = 0.5 * jnp.take_along_axis(se, sd[:, None], 1)[:, 0]
+            base = jnp.take_along_axis(sc, sd[:, None], 1)[:, 0]
+            lo_c = base - half
+            hi_c = base + half
+            pad_lo = 2.0 * (
+                jnp.nextafter(jnp.abs(lo_c) + half, jnp.inf)
+                - (jnp.abs(lo_c) + half)
+            )
+            pad_hi = 2.0 * (
+                jnp.nextafter(jnp.abs(hi_c) + half, jnp.inf)
+                - (jnp.abs(hi_c) + half)
+            )
+            # layout: rows [0, n_open) = lo children, [n_open, 2 n_open) = hi
+            src = jnp.where(rows < n_open, rows, rows - n_open)
+            is_lo = rows < n_open
+            csel = jnp.take(sc, src, axis=0)
+            esel = jnp.take(se, src, axis=0)
+            dsel = jnp.take(sd, src, axis=0)
+            cval = jnp.where(is_lo, jnp.take(lo_c, src), jnp.take(hi_c, src))
+            eval_ = jnp.take(half, src) + jnp.where(
+                is_lo, jnp.take(pad_lo, src), jnp.take(pad_hi, src)
+            )
+            new_fc = csel.at[rows, dsel].set(cval)
+            new_fe = esel.at[rows, dsel].set(eval_)
+            out_fc = jnp.where(overflow, sc, new_fc)
+            out_fe = jnp.where(overflow, se, new_fe)
+            new_count = jnp.where(overflow, n_open, 2 * n_open)
+            return out_fc, out_fe, new_count, overflow
+
+        return round_fn
+
+    @functools.lru_cache(maxsize=None)
+    def resize(M_from, M_to):
+        @jax.jit
+        def fn(fc, fe):
+            if M_to > M_from:
+                zc = jnp.zeros((M_to, n), fc.dtype)
+                ze = jnp.full((M_to, n), jnp.float32(eps0))
+                return zc.at[:M_from].set(fc), ze.at[:M_from].set(fe)
+            return fc[:M_to], fe[:M_to]
+
+        return fn
+
+    return make, resize
+
+
+def _device_bab(factory, x_bias, label, centers, eps0, n, *, max_rounds,
+                frontier_cap, box_budget, fe=None,
+                m_min=None, m_cap=1 << 25):
+    """Run BaB with the frontier resident on device (see
+    _device_round_factory).  ``fe`` carries per-dim half-widths when the
+    caller hands over a partially-split frontier (uniform ``eps0``
+    otherwise).  Same return contract as ``_bab``."""
+    make, resize = factory
+    count = len(centers)
+
+    def p2(x):
+        m = 8
+        while m < x:
+            m *= 2
+        return m
+
+    # default floor: small hand-offs use small capacities (tests,
+    # nearly-closed images) — an explicit m_min overrides
+    if m_min is None:
+        m_min = min(1 << 21, p2(4 * count))
+    M = m_min
+    while M < min(4 * count, m_cap):
+        M *= 2
+    if fe is None:
+        fe = np.full((count, n), eps0, np.float32)
+    pad = np.zeros((M - count, n), np.float32)
+    fc = jnp.asarray(np.concatenate([centers.astype(np.float32), pad]))
+    fe = jnp.asarray(np.concatenate(
+        [fe.astype(np.float32),
+         np.full((M - count, n), eps0, np.float32)]
+    ))
+    rounds = 0
+    boxes = 0
+    while count:
+        if rounds >= max_rounds:
+            return False, rounds, boxes, "rounds"
+        if count > frontier_cap:
+            return False, rounds, boxes, "frontier_cap"
+        if boxes + count > box_budget:
+            return False, rounds, boxes, "budget"
+        fc, fe, count_d, ovf_d = make(M)(
+            fc, fe, jnp.int32(count), x_bias, label
+        )
+        boxes += count
+        rounds += 1
+        count = int(count_d)  # scalar readback = the round's only sync
+        if bool(ovf_d):
+            # parents compacted but unsplit: grow capacity and retry
+            # (the re-entry re-evaluates them — rare, counted in boxes)
+            if M >= m_cap:
+                return False, rounds, boxes, "frontier_cap"
+            M2 = M
+            while M2 < min(4 * count, m_cap):
+                M2 *= 2
+            fc, fe = resize(M, M2)(fc, fe)
+            M = M2
+            continue
+        # shrink when the frontier collapses so late rounds stop paying
+        # full-capacity evals over padding
+        while M > m_min and count * 8 <= M:
+            fc, fe = resize(M, M // 2)(fc, fe)
+            M //= 2
+    return True, rounds, boxes, ""
 
 
 def _chunked(fn, cs, es, out_specs, *, chunk, n, eps0, x_bias, label,
@@ -236,11 +409,15 @@ def _chunked(fn, cs, es, out_specs, *, chunk, n, eps0, x_bias, label,
 
 def _bab(box_step_fn, x_bias, label, centers, eps0, n, *, chunk,
          max_rounds, frontier_cap, box_budget,
-         place_rows=lambda a, dim: a, superchunk=16):
+         place_rows=lambda a, dim: a, superchunk=16,
+         device_factory=None, device_min=1 << 21):
     """Frontier BaB over one image's violated cells.
 
     ``box_step_fn(etas, epss, x_bias, label) -> (vals, split_dims)`` —
-    the fused bound + split-dim kernel (see _kernels).
+    the fused bound + split-dim kernel (see _kernels).  When the frontier
+    reaches ``device_min`` rows and a ``device_factory`` is available, the
+    remaining rounds run device-resident (_device_bab) — the host path's
+    per-round frontier upload dominates at that scale.
 
     Returns (closed, rounds, boxes_evaluated, gave_up)."""
 
@@ -256,6 +433,14 @@ def _bab(box_step_fn, x_bias, label, centers, eps0, n, *, chunk,
     rounds = 0
     boxes = 0
     while len(fc):
+        if device_factory is not None and len(fc) >= device_min:
+            ok, r2, b2, gave = _device_bab(
+                device_factory, x_bias, label, fc, eps0, n,
+                max_rounds=max_rounds - rounds,
+                frontier_cap=frontier_cap,
+                box_budget=box_budget - boxes, fe=fe,
+            )
+            return ok, rounds + r2, boxes + b2, gave
         if rounds >= max_rounds:
             return False, rounds, boxes, "rounds"
         if len(fc) > frontier_cap:
@@ -320,6 +505,7 @@ def refine_uncertified(
     skip: Optional[np.ndarray] = None,
     on_image=None,
     alpha_iters: int = 0,
+    device_min: int = 1 << 21,
 ):
     """BaB-refine every clean-but-uncertified image of a CROWN sweep.
 
@@ -370,7 +556,7 @@ def refine_uncertified(
     if not len(todo):
         return certified, stats
 
-    sweep_fn, box_step_fn, place_rows = _kernels(
+    sweep_fn, box_step_fn, place_rows, device_factory = _kernels(
         cert, alpha_iters=alpha_iters
     )
     feats = np.asarray(cert._features(cert.params, jnp.asarray(images[todo])))
@@ -447,7 +633,8 @@ def refine_uncertified(
             box_step_fn, xb, label, centers, cert.eps, n,
             chunk=chunk, max_rounds=max_rounds, frontier_cap=frontier_cap,
             box_budget=box_budget, place_rows=place_rows,
-            superchunk=superchunk,
+            superchunk=superchunk, device_factory=device_factory,
+            device_min=device_min,
         )
         if ok:
             certified[img] = True

@@ -145,23 +145,31 @@ def _lips_kernels(cert):
 
         return jax.lax.map(body, etas_l)
 
-    @jax.jit
-    def box_step_fn(etas_c, epss, feats, label):  # (K, C, n) boxes
+    def step_body(c, e, feats, label):
         # eps sensitivity only flows through slack / eta_ub / feasibility
         # masks (the center eval is eps-independent): cheap backward
-        def body(ce):
-            c, e = ce
-            with jax.default_matmul_precision(cert.matmul_precision):
-                v, vjp = jax.vjp(
-                    lambda ee: box_val(c, ee, feats, label), e
-                )
-                (g,) = vjp(jnp.ones_like(v))
-                score = e * (jnp.abs(jnp.nan_to_num(g)) + 1e-30)
-                return v, jnp.argmax(score, axis=-1).astype(jnp.int32)
+        with jax.default_matmul_precision(cert.matmul_precision):
+            v, vjp = jax.vjp(
+                lambda ee: box_val(c, ee, feats, label), e
+            )
+            (g,) = vjp(jnp.ones_like(v))
+            score = e * (jnp.abs(jnp.nan_to_num(g)) + 1e-30)
+            return v, jnp.argmax(score, axis=-1).astype(jnp.int32)
 
-        return jax.lax.map(body, (etas_c, epss))
+    @jax.jit
+    def box_step_fn(etas_c, epss, feats, label):  # (K, C, n) boxes
+        return jax.lax.map(
+            lambda ce: step_body(*ce, feats, label), (etas_c, epss)
+        )
 
-    return sweep_fn, box_step_fn, place_rows
+    from .refine import _device_round_factory
+
+    device_factory = (
+        None if cert.mesh is not None
+        else _device_round_factory(step_body, cert.n, cert.eps)
+    )
+
+    return sweep_fn, box_step_fn, place_rows, device_factory
 
 
 def refine_lips_uncertified(
@@ -181,6 +189,7 @@ def refine_lips_uncertified(
     progress_every: int = 0,
     skip: Optional[np.ndarray] = None,
     on_image=None,
+    device_min: int = 1 << 21,
 ):
     """BaB-refine every clean-but-uncertified image of a Lipschitz sweep.
 
@@ -217,7 +226,7 @@ def refine_lips_uncertified(
         exact_ok = r.larger_T_certified
     exact_ok = np.asarray(exact_ok, bool)
 
-    sweep_fn, box_step_fn, place_rows = _lips_kernels(cert)
+    sweep_fn, box_step_fn, place_rows, device_factory = _lips_kernels(cert)
     feats = np.asarray(
         cert._features(cert.params, jnp.asarray(images[todo]))
     )
@@ -283,7 +292,8 @@ def refine_lips_uncertified(
             box_step_fn, ft, label, centers, cert.eps, n,
             chunk=chunk, max_rounds=max_rounds, frontier_cap=frontier_cap,
             box_budget=box_budget, place_rows=place_rows,
-            superchunk=superchunk,
+            superchunk=superchunk, device_factory=device_factory,
+            device_min=device_min,
         )
         if ok:
             certified[img] = True

@@ -693,6 +693,89 @@ class TestRefinement:
         assert re_stats == []
         np.testing.assert_array_equal(re_cert, full_cert)
 
+    def test_device_bab_matches_host_on_analytic_bound(self):
+        # the device-resident rounds (eval -> compact -> split on device)
+        # must reach the same verdict as the host path on the analytic
+        # bound, exercise capacity growth (tiny m_min forces overflow) and
+        # trip budgets on the hopeless bound instead of looping
+        from fiode_tpu.verify.refine import (
+            _bab, _device_bab, _device_round_factory,
+        )
+
+        def step_body(c, e, xb, lab):
+            return (jnp.sum(e, -1) - 0.3,
+                    jnp.argmax(e, -1).astype(jnp.int32))
+
+        factory = _device_round_factory(step_body, 4, 0.2, eval_chunk=8)
+        centers = np.zeros((3, 4), np.float32)
+        # ample capacity: no overflow re-evals, so the deterministic split
+        # schedule matches the host path round for round
+        ok_d, r_d, b_d, gave_d = _device_bab(
+            factory, None, 0, centers, 0.2, 4, max_rounds=30,
+            frontier_cap=1 << 12, box_budget=1 << 20, m_min=1 << 11,
+        )
+        ok_h, r_h, b_h, gave_h = _bab(
+            lambda c, e, xb, lab: jax.vmap(
+                lambda cc, ee: step_body(cc, ee, xb, lab))(c, e),
+            None, 0, centers, 0.2, 4, chunk=8, max_rounds=30,
+            frontier_cap=1 << 12, box_budget=1 << 20,
+        )
+        assert ok_d and gave_d == "" and ok_h
+        assert r_d == r_h  # same deterministic split schedule
+        # tiny capacity: overflow -> grow -> still closes (extra re-eval
+        # rounds are expected, not failures)
+        ok_g, r_g, _, gave_g = _device_bab(
+            factory, None, 0, centers, 0.2, 4, max_rounds=40,
+            frontier_cap=1 << 12, box_budget=1 << 20, m_min=8,
+        )
+        assert ok_g and gave_g == "" and r_g >= r_h
+
+        def hopeless(c, e, xb, lab):
+            return (jnp.sum(e, -1) + 0.1,
+                    jnp.argmax(e, -1).astype(jnp.int32))
+
+        fac2 = _device_round_factory(hopeless, 4, 0.2, eval_chunk=8)
+        ok, rounds, boxes, gave = _device_bab(
+            fac2, None, 0, centers, 0.2, 4, max_rounds=10,
+            frontier_cap=1 << 10, box_budget=1 << 14, m_min=8,
+            m_cap=1 << 10,
+        )
+        assert not ok and gave in ("rounds", "frontier_cap", "budget")
+
+        # NaN fails closed on the device path too
+        def nan_body(c, e, xb, lab):
+            return (jnp.full(e.shape[:-1], jnp.nan),
+                    jnp.zeros(e.shape[:-1], jnp.int32))
+
+        fac3 = _device_round_factory(nan_body, 4, 0.2, eval_chunk=8)
+        ok, rounds, boxes, gave = _device_bab(
+            fac3, None, 0, centers, 0.2, 4, max_rounds=4,
+            frontier_cap=1 << 8, box_budget=1 << 12, m_min=8,
+            m_cap=1 << 8,
+        )
+        assert not ok and gave != ""
+
+    def test_refine_device_path_matches_host_end_to_end(self, tmp_path):
+        # forcing every frontier through the device-resident rounds must
+        # reproduce the host path's verdicts on the real model
+        from fiode_tpu.verify.refine import refine_uncertified
+
+        maker = TestCertifierEndToEnd()
+        model, params, x = maker._make(tmp_path)
+        y = np.asarray([0, 1, 2, 0, 1, 2])
+        cert = Certifier(model, params, T=8, eps_input=0.1, chunk=64)
+        res_c = cert.certify(np.asarray(x), y, method="crown",
+                             early_exit=False)
+        kw = dict(clean=res_c.clean, chunk=64, superchunk=4, max_rounds=6,
+                  frontier_cap=4096, box_budget=20000)
+        host_cert, host_stats = refine_uncertified(
+            cert, np.asarray(x), y, res_c.certified, **kw)
+        dev_cert, dev_stats = refine_uncertified(
+            cert, np.asarray(x), y, res_c.certified, device_min=1, **kw)
+        np.testing.assert_array_equal(host_cert, dev_cert)
+        for h, d in zip(host_stats, dev_stats):
+            assert h.image == d.image and h.certified == d.certified
+
     def test_refine_alpha_evaluator_sound_and_no_looser(self, tmp_path):
         # alpha-CROWN box evaluator (alpha_iters > 0): the refined set must
         # still be inside the exact-grid certified set (soundness), never
@@ -737,7 +820,7 @@ class TestRefinement:
         maker = TestCertifierEndToEnd()
         model, params, x = maker._make(tmp_path)
         cert = Certifier(model, params, T=8, eps_input=0.1, chunk=32)
-        sweep_fn, box_step_fn, _ = _lips_kernels(cert)
+        sweep_fn, box_step_fn, _, _ = _lips_kernels(cert)
         box_vals_fn = lambda *a: box_step_fn(*a)[0]
         feats = jnp.asarray(
             np.asarray(cert._features(cert.params, jnp.asarray(x)))[0]

@@ -112,7 +112,15 @@ def apgd_attack(
             return jnp.sum(lv), lv
 
         (s, lv), g = jax.value_and_grad(obj, has_aux=True)(xa)
-        return lv, g
+        # a non-finite gradient component (the DLR denominator can reach its
+        # 1e-12 floor, overflowing the backward pass; the simplex-QP
+        # bisection gradient can 0/0 at saturation) would otherwise turn the
+        # NEXT iterate NaN — and the simplex projection maps a NaN input to
+        # a finite collapsed state whose loss can read as an "improvement",
+        # poisoning x_best with a NaN point.  Zero it: the step degrades to
+        # the other components (or pure momentum), which keeps the iterate
+        # inside the ball and finite.
+        return lv, jnp.where(jnp.isfinite(g), g, 0.0)
 
     checkpoints = jnp.zeros((n_iter,), bool)
     for w in _checkpoints(n_iter):
@@ -152,7 +160,11 @@ def apgd_attack(
         # f(x_{k+1}) > f(x_k) (Alg. 1 line 9), not improvements over the
         # running best — the stricter count over-halves step sizes
         succ_since_ck = succ_since_ck + (lv_new > lv).astype(jnp.int32)
-        improved = lv_new > f_best
+        # belt-and-braces vs the NaN-poisoning path above: never promote a
+        # non-finite iterate to x_best even if its (finite, collapsed-state)
+        # loss reads higher
+        x_new_finite = jnp.isfinite(x_new).reshape(B, -1).all(-1)
+        improved = (lv_new > f_best) & x_new_finite
         x_best = jnp.where(improved.reshape(bshape), x_new, x_best)
         g_best = jnp.where(improved.reshape(bshape), g_new, g_best)
         f_best = jnp.maximum(f_best, lv_new)

@@ -87,6 +87,26 @@ class AutoAttackSuite:
             self._compiled[name] = jax.jit(fn)
         return self._compiled[name]
 
+    def _validate(self, x, y, xb, succ):
+        """Accept an attack's claimed success only for a VALID adversarial:
+        finite, inside [0,1]^d, inside the eps-ball, and actually
+        misclassified by a fresh forward pass.  The autoattack package gets
+        the same guarantee from its final `check` re-evaluation
+        (autoattack.py run_standard_evaluation's acc recomputation); here it
+        additionally guards the degenerate case where a NaN iterate makes
+        `argmax(NaN logits) != y` read as success — a NaN input is not an
+        adversarial example."""
+        flat = (xb - x).reshape(x.shape[0], -1)
+        if self.norm == "Linf":
+            in_ball = jnp.max(jnp.abs(flat), -1) <= self.eps * (1 + 1e-5)
+        else:
+            in_ball = jnp.linalg.norm(flat, axis=-1) <= self.eps * (1 + 1e-5)
+        finite = jnp.isfinite(xb).reshape(x.shape[0], -1).all(-1)
+        in_range = ((xb >= 0.0) & (xb <= 1.0)).reshape(x.shape[0], -1).all(-1)
+        lg = self.logits_fn(xb)
+        mis = jnp.isfinite(lg).all(-1) & (jnp.argmax(lg, -1) != y)
+        return succ & finite & in_ball & in_range & mis
+
     def run(self, x, y, key):
         """Returns (x_adv, robust_mask)."""
         bshape = (x.shape[0],) + (1,) * (x.ndim - 1)
@@ -94,9 +114,12 @@ class AutoAttackSuite:
         robust = pred == y  # misclassified are already "broken"
         x_adv = x
 
+        if "_validate" not in self._compiled:
+            self._compiled["_validate"] = jax.jit(self._validate)
         for name in self.attacks:
             key, k = jax.random.split(key)
             xb, succ = self._attack_fn(name)(x, y, k)
+            succ = self._compiled["_validate"](x, y, xb, succ)
             newly_broken = succ & robust
             x_adv = jnp.where(newly_broken.reshape(bshape), xb, x_adv)
             robust = robust & ~succ

@@ -26,7 +26,19 @@ sample-NFE/s on a V100-class GPU.  The repo publishes no measured numbers
 (BASELINE.md), so this constant is the documented stand-in until a measured
 GPU run replaces it.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Roofline grounding: the compiled program's own XLA cost analysis (logical
+flops + bytes accessed of the optimized HLO) is divided by the measured
+wall time and by the v5e chip peaks (197 bf16 TFLOP/s MXU, 819 GB/s HBM),
+so ``pct_peak_bf16_mxu`` / ``pct_peak_hbm`` say how far from the hardware
+walls the run sits and ``bound`` names the nearer wall ("latency/vpu" when
+neither is within 20%: the ODE portion is a chain of tiny (B,10)x(10,128)
+matmuls and a 30-iteration elementwise QP bisection — VPU/latency work the
+MXU roofline cannot see).  Flops here are XLA's logical count: fp32
+matmuls lowered to 3/6-pass bf16 do proportionally more MXU work than
+counted (this bench's hot path is bf16-or-default precision, so no
+adjustment applies).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...roofline keys}.
 """
 from __future__ import annotations
 
@@ -37,6 +49,44 @@ import time
 import numpy as np
 
 REF_SAMPLE_NFE_PER_SEC = 150_000.0
+# v5e single-chip peaks (public spec): 197 TFLOP/s bf16 MXU, 819 GB/s HBM
+V5E_PEAK_BF16_FLOPS = 197e12
+V5E_PEAK_HBM_BYTES = 819e9
+
+
+def roofline(compiled, dt: float) -> dict:
+    """Roofline keys from a compiled program's XLA cost analysis.
+
+    ``compiled`` is a jax AOT Compiled object; ``dt`` the measured seconds
+    for one execution of it.  Returns {} when the backend does not expose
+    cost analysis (the axon relay occasionally does not).
+    """
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca["flops"])
+        bytes_ = float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        return {}
+    pf = flops / dt / V5E_PEAK_BF16_FLOPS
+    ph = (bytes_ / dt / V5E_PEAK_HBM_BYTES) if bytes_ else 0.0
+    bound = (
+        "mxu" if pf >= max(ph, 0.2)
+        else "hbm" if ph >= 0.2
+        else "latency/vpu"
+    )
+    out = {
+        "program_tflops": round(flops / 1e12, 3),
+        "achieved_tflops_per_s": round(flops / dt / 1e12, 3),
+        "pct_peak_bf16_mxu": round(100 * pf, 2),
+        "bound": bound,
+    }
+    if bytes_:
+        out["program_gbytes"] = round(bytes_ / 1e9, 3)
+        out["achieved_hbm_gb_per_s"] = round(bytes_ / dt / 1e9, 1)
+        out["pct_peak_hbm"] = round(100 * ph, 2)
+    return out
 # 32k saturates the MXU on the DFT-matmul Cayley backbone (measured +9% over
 # 8k on v5e); 48k+ overflows HBM with the (F, batch, ci) Fourier activations.
 BATCH = 32768
@@ -65,7 +115,6 @@ def _bench():
     # ops at ~100ms each over the relay
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x[:8])
 
-    @jax.jit
     def many_solves(params, x):
         def body(i, carry):
             nfe_total, acc = carry
@@ -78,18 +127,28 @@ def _bench():
             (jnp.zeros((), jnp.int32), jnp.zeros((BATCH, 10))),
         )
 
-    nfe, acc = many_solves(params, x)  # compile + warmup
+    # AOT-compile so the same executable serves timing AND cost analysis
+    compiled = jax.jit(many_solves).lower(params, x).compile()
+    nfe, acc = compiled(params, x)  # warmup
     acc.block_until_ready()
 
-    best = None
+    best = best_dt = None
     for _ in range(N_OUTER):
         t0 = time.time()
-        nfe, acc = many_solves(params, x)
+        nfe, acc = compiled(params, x)
         n = int(nfe)  # forces a real sync
         dt = time.time() - t0
         rate = n * BATCH / dt
-        best = rate if best is None else max(best, rate)
+        if best is None or rate > best:
+            best, best_dt = rate, dt
 
+    extra = roofline(compiled, best_dt)
+    if "program_tflops" in extra:
+        # whole-program flops (N_INNER solves: KWLarge backbone + scan'd
+        # RHS evals) amortized over the sample-NFEs the metric counts
+        extra["flops_per_sample_nfe"] = round(
+            extra["program_tflops"] * 1e12 / (n * BATCH), 1
+        )
     print(
         json.dumps(
             {
@@ -97,6 +156,7 @@ def _bench():
                 "value": round(best, 1),
                 "unit": "RHS evals * samples / sec",
                 "vs_baseline": round(best / REF_SAMPLE_NFE_PER_SEC, 3),
+                **extra,
             }
         )
     )

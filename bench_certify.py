@@ -17,6 +17,13 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"};
 vs_baseline uses an analytic estimate of the reference's GPU throughput
 (~50k cells/s: auto_LiRPA CROWN on 103k-cell batches at a few seconds per
 batch plus n-per-cell sequential QP python loops).
+
+Roofline keys (shared helper in bench.py): XLA's logical flop/byte count
+of the compiled sweep over the measured wall time vs the v5e peaks.  NOTE
+on fp32: at float32 matmul precision the MXU executes each matmul as ~6
+bf16 passes, so real MXU occupancy is ~6x the logical ``pct_peak_bf16_mxu``
+— ``mxu_pass_factor`` records the multiplier the precision implies so the
+printed percentage can be interpreted against it.
 """
 from __future__ import annotations
 
@@ -88,7 +95,6 @@ def _bench():
     eta = jnp.asarray(eta)
     eps = 1.0 / 40
 
-    @jax.jit
     def sweep(Ws, bs, x_biases, labels, eta):
         def one(x_bias, label, e):
             xr = jnp.broadcast_to(x_bias, (e.shape[0], m))
@@ -106,14 +112,28 @@ def _bench():
                 0, N_INNER, body, jnp.full((N_IMAGES,), -jnp.inf)
             )
 
-    float(sweep(Ws, bs, x_biases, labels, eta)[0])  # compile + warmup
-    best = 0.0
+    from bench import roofline
+
+    compiled = jax.jit(sweep).lower(Ws, bs, x_biases, labels, eta).compile()
+    float(compiled(Ws, bs, x_biases, labels, eta)[0])  # warmup
+    best, best_dt = 0.0, None
     for _ in range(N_OUTER):
         t0 = time.time()
-        float(sweep(Ws, bs, x_biases, labels, eta)[0])
-        best = max(
-            best, N_INNER * CHUNK * N_IMAGES / (time.time() - t0)
+        float(compiled(Ws, bs, x_biases, labels, eta)[0])
+        dt = time.time() - t0
+        rate = N_INNER * CHUNK * N_IMAGES / dt
+        if rate > best:
+            best, best_dt = rate, dt
+
+    extra = roofline(compiled, best_dt)
+    if "program_tflops" in extra:
+        extra["flops_per_cell"] = round(
+            extra["program_tflops"] * 1e12 / (N_INNER * CHUNK * N_IMAGES), 1
         )
+    # logical-vs-physical MXU work multiplier implied by matmul precision
+    extra["mxu_pass_factor"] = {
+        "bfloat16": 1, "tensorfloat32": 3, "float32": 6
+    }[precision]
     print(
         json.dumps(
             {
@@ -122,6 +142,7 @@ def _bench():
                 "unit": f"image-cells/sec (T=40, n=10, mlp=128, "
                 f"8 images batched, {precision} matmuls)",
                 "vs_baseline": round(best / REF_CELLS_PER_SEC, 3),
+                **extra,
             }
         )
     )

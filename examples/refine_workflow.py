@@ -49,6 +49,9 @@ def main():
                     "BaB box evaluator (0 = plain CROWN). Tightens the "
                     "base bound for images whose plain-CROWN violated set "
                     "exceeds collect-cap; ~(2*iters+2)x per box")
+    ap.add_argument("--device-cap", type=int, default=1 << 25,
+                    help="device-resident BaB frontier capacity (rows); "
+                    "2^26 is the HBM ceiling for deep-splitting images")
     ap.add_argument("--chunk", type=int, default=8192)
     ap.add_argument("--superchunk", type=int, default=16)
     ap.add_argument("--out", default="refine_full.json")
@@ -103,6 +106,7 @@ def main():
         "box_budget": args.box_budget,
         "frontier_cap": args.frontier_cap,
         "alpha_iters": args.alpha_iters,
+        "device_cap": args.device_cap,
     }
     stream_path = run_dir / (Path(args.out).stem + "_stream.jsonl")
     streamed = {}
@@ -163,7 +167,7 @@ def main():
         cert, ds.test_x[:end], ds.test_y[:end], certified,
         max_rounds=args.rounds, collect_cap=args.collect_cap,
         box_budget=args.box_budget, frontier_cap=args.frontier_cap,
-        alpha_iters=args.alpha_iters,
+        alpha_iters=args.alpha_iters, device_cap=args.device_cap,
         chunk=args.chunk, superchunk=args.superchunk,
         progress_every=1, skip=skip, on_image=stream_image,
     )

@@ -228,7 +228,10 @@ def _device_round_factory(step_body, n, eps0, eval_chunk=131072):
         K = max(M // eval_chunk, 1)
         C = M // K
 
-        @jax.jit
+        # donate the frontier buffers: at M = 2^26 the (M, n) fp32 pair is
+        # ~5.4 GB — without aliasing them into the outputs the round would
+        # not fit v5e HBM alongside its gather temporaries
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
         def round_fn(fc, fe, count, x_bias, label):
             vals, dims = jax.lax.map(
                 lambda ce: step_body(*ce, x_bias, label),
@@ -280,7 +283,7 @@ def _device_round_factory(step_body, n, eps0, eval_chunk=131072):
 
     @functools.lru_cache(maxsize=None)
     def resize(M_from, M_to):
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
         def fn(fc, fe):
             if M_to > M_from:
                 zc = jnp.zeros((M_to, n), fc.dtype)
@@ -410,7 +413,7 @@ def _chunked(fn, cs, es, out_specs, *, chunk, n, eps0, x_bias, label,
 def _bab(box_step_fn, x_bias, label, centers, eps0, n, *, chunk,
          max_rounds, frontier_cap, box_budget,
          place_rows=lambda a, dim: a, superchunk=16,
-         device_factory=None, device_min=1 << 21):
+         device_factory=None, device_min=1 << 21, device_cap=1 << 25):
     """Frontier BaB over one image's violated cells.
 
     ``box_step_fn(etas, epss, x_bias, label) -> (vals, split_dims)`` —
@@ -439,6 +442,7 @@ def _bab(box_step_fn, x_bias, label, centers, eps0, n, *, chunk,
                 max_rounds=max_rounds - rounds,
                 frontier_cap=frontier_cap,
                 box_budget=box_budget - boxes, fe=fe,
+                m_cap=device_cap,
             )
             return ok, rounds + r2, boxes + b2, gave
         if rounds >= max_rounds:
@@ -506,6 +510,7 @@ def refine_uncertified(
     on_image=None,
     alpha_iters: int = 0,
     device_min: int = 1 << 21,
+    device_cap: int = 1 << 25,
 ):
     """BaB-refine every clean-but-uncertified image of a CROWN sweep.
 
@@ -535,7 +540,14 @@ def refine_uncertified(
     plain-CROWN violated set is intractably large (>collect_cap) become
     refinable when alpha kills most of the slack.  Each alpha evaluation
     costs ~(2*iters+2)x a plain one; use for the tail the plain evaluator
-    gave up on.
+    gave up on.  (Measured on the flagship checkpoint the filter closes
+    <=0.25% of violated cells — run_data/certified_full/alpha_probe.json —
+    so the passes ship with alpha off.)
+
+    ``device_cap`` bounds the device-resident frontier capacity (rows);
+    2^25 keeps the round program's working set comfortably inside v5e
+    HBM, 2^26 (~5.4 GB state, donated buffers) is the measured ceiling
+    for deep-splitting images whose frontiers outgrow 2^25.
 
     Returns (new_certified, [RefineStats...]).
     """
@@ -634,7 +646,7 @@ def refine_uncertified(
             chunk=chunk, max_rounds=max_rounds, frontier_cap=frontier_cap,
             box_budget=box_budget, place_rows=place_rows,
             superchunk=superchunk, device_factory=device_factory,
-            device_min=device_min,
+            device_min=device_min, device_cap=device_cap,
         )
         if ok:
             certified[img] = True

@@ -46,6 +46,22 @@ Images with an EXACT grid violation (``vdot(g) + kappa >= 0`` at some
 lattice point — the larger-T certificate fails) are provably unrefinable:
 shrinking boxes around that point converge to the violated exact value.
 They are skipped up front with ``gave_up="exact_violation"``.
+
+Measured reach (round 4, flagship CIFAR checkpoint): the slack term is
+isotropic-L2 — ``sqrt(2) * Lf_eta * ||e||_2`` over n=10 box dims — so one
+single-dim split shrinks it by only ~4% (``sqrt(9.25/10)``), and a cell
+whose center value misses the with-slack threshold by a factor f needs a
+~f-times-finer lattice in ALL dims (~f^(n-1) sub-boxes).  On the flagship
+checkpoint the slack-violated cells sit far inside that regime (base
+slack ~0.82 vs margins needing ||e|| shrunk ~7x => ~7^9 boxes/cell):
+image 3's 5.5M violated cells doubled the frontier every round to the
+2^25 cap with ~0% closing (38M boxes, gave_up=frontier_cap), image 7
+exceeded a 12M collect cap.  This refinement therefore helps only when
+violated-cell margins are within one or two splits of closing (low n,
+small kappa, or near-threshold slack); the committed full-set evidence
+for THIS model keeps the with-slack certificate at 318/512 and the tail
+is attacked through the CROWN BaB (verify/refine.py) instead, whose
+per-dim linear-bound slack single-dim splits do reduce.
 """
 from __future__ import annotations
 

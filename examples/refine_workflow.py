@@ -52,6 +52,11 @@ def main():
     ap.add_argument("--device-cap", type=int, default=1 << 25,
                     help="device-resident BaB frontier capacity (rows); "
                     "2^26 is the HBM ceiling for deep-splitting images")
+    ap.add_argument("--image-seconds", type=float, default=None,
+                    help="per-image wall-clock cap (gave_up=time_budget); "
+                    "keeps a pass over an unknown-difficulty tail "
+                    "schedulable — capped images retry under a bigger cap "
+                    "via the budget-stamped resume")
     ap.add_argument("--chunk", type=int, default=8192)
     ap.add_argument("--superchunk", type=int, default=16)
     ap.add_argument("--out", default="refine_full.json")
@@ -107,6 +112,7 @@ def main():
         "frontier_cap": args.frontier_cap,
         "alpha_iters": args.alpha_iters,
         "device_cap": args.device_cap,
+        "image_seconds": args.image_seconds,
     }
     stream_path = run_dir / (Path(args.out).stem + "_stream.jsonl")
     streamed = {}
@@ -168,6 +174,7 @@ def main():
         max_rounds=args.rounds, collect_cap=args.collect_cap,
         box_budget=args.box_budget, frontier_cap=args.frontier_cap,
         alpha_iters=args.alpha_iters, device_cap=args.device_cap,
+        image_seconds=args.image_seconds,
         chunk=args.chunk, superchunk=args.superchunk,
         progress_every=1, skip=skip, on_image=stream_image,
     )

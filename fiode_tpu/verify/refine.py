@@ -47,7 +47,8 @@ class RefineStats:
     rounds: int  # BaB rounds run
     boxes_evaluated: int  # BaB sub-boxes bounded (excl. the base sweep)
     certified: bool
-    gave_up: str  # "" | "collect_cap" | "frontier_cap" | "rounds" | "budget"
+    gave_up: str  # "" | "collect_cap" | "frontier_cap" | "rounds" |
+    #               "budget" | "time_budget"
     seconds: float
     # violated cells in the plain-CROWN sweep BEFORE the alpha-CROWN
     # filter (== base_violated when alpha_iters == 0); -1 when collection
@@ -298,7 +299,7 @@ def _device_round_factory(step_body, n, eps0, eval_chunk=131072):
 
 def _device_bab(factory, x_bias, label, centers, eps0, n, *, max_rounds,
                 frontier_cap, box_budget, fe=None,
-                m_min=None, m_cap=1 << 25):
+                m_min=None, m_cap=1 << 25, deadline=None):
     """Run BaB with the frontier resident on device (see
     _device_round_factory).  ``fe`` carries per-dim half-widths when the
     caller hands over a partially-split frontier (uniform ``eps0``
@@ -336,6 +337,8 @@ def _device_bab(factory, x_bias, label, centers, eps0, n, *, max_rounds,
             return False, rounds, boxes, "frontier_cap"
         if boxes + count > box_budget:
             return False, rounds, boxes, "budget"
+        if deadline is not None and time.time() > deadline:
+            return False, rounds, boxes, "time_budget"
         fc, fe, count_d, ovf_d = make(M)(
             fc, fe, jnp.int32(count), x_bias, label
         )
@@ -413,7 +416,8 @@ def _chunked(fn, cs, es, out_specs, *, chunk, n, eps0, x_bias, label,
 def _bab(box_step_fn, x_bias, label, centers, eps0, n, *, chunk,
          max_rounds, frontier_cap, box_budget,
          place_rows=lambda a, dim: a, superchunk=16,
-         device_factory=None, device_min=1 << 21, device_cap=1 << 25):
+         device_factory=None, device_min=1 << 21, device_cap=1 << 25,
+         deadline=None):
     """Frontier BaB over one image's violated cells.
 
     ``box_step_fn(etas, epss, x_bias, label) -> (vals, split_dims)`` —
@@ -442,7 +446,7 @@ def _bab(box_step_fn, x_bias, label, centers, eps0, n, *, chunk,
                 max_rounds=max_rounds - rounds,
                 frontier_cap=frontier_cap,
                 box_budget=box_budget - boxes, fe=fe,
-                m_cap=device_cap,
+                m_cap=device_cap, deadline=deadline,
             )
             return ok, rounds + r2, boxes + b2, gave
         if rounds >= max_rounds:
@@ -451,6 +455,8 @@ def _bab(box_step_fn, x_bias, label, centers, eps0, n, *, chunk,
             return False, rounds, boxes, "frontier_cap"
         if boxes + len(fc) > box_budget:
             return False, rounds, boxes, "budget"
+        if deadline is not None and time.time() > deadline:
+            return False, rounds, boxes, "time_budget"
         vals, dims = chunked(fc, fe)
         boxes += len(fc)
         rounds += 1
@@ -511,6 +517,7 @@ def refine_uncertified(
     alpha_iters: int = 0,
     device_min: int = 1 << 21,
     device_cap: int = 1 << 25,
+    image_seconds: Optional[float] = None,
 ):
     """BaB-refine every clean-but-uncertified image of a CROWN sweep.
 
@@ -548,6 +555,13 @@ def refine_uncertified(
     2^25 keeps the round program's working set comfortably inside v5e
     HBM, 2^26 (~5.4 GB state, donated buffers) is the measured ceiling
     for deep-splitting images whose frontiers outgrow 2^25.
+
+    ``image_seconds`` caps one image's wall clock (checked between BaB
+    rounds; the verdict is ``gave_up="time_budget"``): a multi-image pass
+    over a tail with unknown per-image difficulty stays schedulable —
+    quick wins land first, the time-capped images are retried under a
+    bigger cap via the budget-stamped resume (drivers skip a gave-up
+    verdict only when its recorded budgets match the current run's).
 
     Returns (new_certified, [RefineStats...]).
     """
@@ -647,6 +661,7 @@ def refine_uncertified(
             box_budget=box_budget, place_rows=place_rows,
             superchunk=superchunk, device_factory=device_factory,
             device_min=device_min, device_cap=device_cap,
+            deadline=None if image_seconds is None else t0 + image_seconds,
         )
         if ok:
             certified[img] = True

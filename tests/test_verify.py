@@ -776,6 +776,34 @@ class TestRefinement:
         for h, d in zip(host_stats, dev_stats):
             assert h.image == d.image and h.certified == d.certified
 
+    def test_refine_image_time_budget(self, tmp_path):
+        # image_seconds=0: every image with a nonempty violated set must
+        # give up with "time_budget" before evaluating a single BaB box
+        # (the deadline is checked ahead of each round), and no image may
+        # be newly certified through the BaB path
+        from fiode_tpu.verify.refine import refine_uncertified
+
+        maker = TestCertifierEndToEnd()
+        model, params, x = maker._make(tmp_path)
+        y = np.asarray([0, 1, 2, 0, 1, 2])
+        cert = Certifier(model, params, T=8, eps_input=0.1, chunk=64)
+        res_c = cert.certify(np.asarray(x), y, method="crown",
+                             early_exit=False)
+        new_cert, stats = refine_uncertified(
+            cert, np.asarray(x), y, res_c.certified, clean=res_c.clean,
+            chunk=64, superchunk=4, max_rounds=6, frontier_cap=4096,
+            box_budget=20000, image_seconds=0.0)
+        for s in stats:
+            if s.base_violated > 0:
+                assert not s.certified and s.gave_up == "time_budget"
+                assert s.boxes_evaluated == 0
+            else:
+                # a clean re-sweep with no violated cells still certifies
+                assert s.certified
+        assert set(np.nonzero(new_cert & ~res_c.certified)[0]) == {
+            s.image for s in stats if s.certified
+        }
+
     def test_refine_alpha_evaluator_sound_and_no_looser(self, tmp_path):
         # alpha-CROWN box evaluator (alpha_iters > 0): the refined set must
         # still be inside the exact-grid certified set (soundness), never

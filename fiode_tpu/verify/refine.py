@@ -322,12 +322,19 @@ def _device_bab(factory, x_bias, label, centers, eps0, n, *, max_rounds,
         M *= 2
     if fe is None:
         fe = np.full((count, n), eps0, np.float32)
-    pad = np.zeros((M - count, n), np.float32)
+    # upload at the smallest capacity covering the live rows and grow to M
+    # device-side: the padding rows are synthesized by `resize` on device,
+    # so a 12M-row hand-off uploads ~1 GB instead of the 5.4 GB a
+    # host-padded 2^26 frontier would push through the relay
+    M0 = min(max(m_min, p2(count)), M)
+    pad = np.zeros((M0 - count, n), np.float32)
     fc = jnp.asarray(np.concatenate([centers.astype(np.float32), pad]))
     fe = jnp.asarray(np.concatenate(
         [fe.astype(np.float32),
-         np.full((M - count, n), eps0, np.float32)]
+         np.full((M0 - count, n), eps0, np.float32)]
     ))
+    if M0 < M:
+        fc, fe = resize(M0, M)(fc, fe)
     rounds = 0
     boxes = 0
     while count:

@@ -51,7 +51,9 @@ def main():
                     "exceeds collect-cap; ~(2*iters+2)x per box")
     ap.add_argument("--device-cap", type=int, default=1 << 25,
                     help="device-resident BaB frontier capacity (rows); "
-                    "2^26 is the HBM ceiling for deep-splitting images")
+                    "2^25 is the v5e HBM ceiling for the fused round "
+                    "program — larger frontiers are host-partitioned "
+                    "into independent sub-frontiers automatically")
     ap.add_argument("--image-seconds", type=float, default=None,
                     help="per-image wall-clock cap (gave_up=time_budget); "
                     "keeps a pass over an unknown-difficulty tail "

@@ -229,8 +229,8 @@ def _device_round_factory(step_body, n, eps0, eval_chunk=131072):
         K = max(M // eval_chunk, 1)
         C = M // K
 
-        # donate the frontier buffers: at M = 2^26 the (M, n) fp32 pair is
-        # ~5.4 GB — without aliasing them into the outputs the round would
+        # donate the frontier buffers: at M = 2^25 the (M, n) fp32 pair is
+        # ~2.7 GB — without aliasing them into the outputs the round would
         # not fit v5e HBM alongside its gather temporaries
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def round_fn(fc, fe, count, x_bias, label):
@@ -303,7 +303,16 @@ def _device_bab(factory, x_bias, label, centers, eps0, n, *, max_rounds,
     """Run BaB with the frontier resident on device (see
     _device_round_factory).  ``fe`` carries per-dim half-widths when the
     caller hands over a partially-split frontier (uniform ``eps0``
-    otherwise).  Same return contract as ``_bab``."""
+    otherwise).
+
+    Returns ``(closed, rounds, boxes, gave_up, leftover)`` — the first
+    four as in ``_bab``.  When the frontier outgrows ``m_cap`` the give-up
+    is ``"m_cap"`` and ``leftover`` carries the compacted OPEN parents
+    (centers, half-widths) as host arrays: every open box roots an
+    independent sub-tree, so the caller can partition the leftover into
+    sub-frontiers and run each to closure separately (``_bab`` does) —
+    capacity overflow is a scheduling event, not a verdict.  ``leftover``
+    is None for every other outcome."""
     make, resize = factory
     count = len(centers)
 
@@ -317,6 +326,7 @@ def _device_bab(factory, x_bias, label, centers, eps0, n, *, max_rounds,
     # nearly-closed images) — an explicit m_min overrides
     if m_min is None:
         m_min = min(1 << 21, p2(4 * count))
+    m_min = min(m_min, m_cap)
     M = m_min
     while M < min(4 * count, m_cap):
         M *= 2
@@ -324,8 +334,8 @@ def _device_bab(factory, x_bias, label, centers, eps0, n, *, max_rounds,
         fe = np.full((count, n), eps0, np.float32)
     # upload at the smallest capacity covering the live rows and grow to M
     # device-side: the padding rows are synthesized by `resize` on device,
-    # so a 12M-row hand-off uploads ~1 GB instead of the 5.4 GB a
-    # host-padded 2^26 frontier would push through the relay
+    # so a 12M-row hand-off uploads ~1 GB instead of the 2.7 GB a
+    # host-padded 2^25 frontier would push through the relay
     M0 = min(max(m_min, p2(count)), M)
     pad = np.zeros((M0 - count, n), np.float32)
     fc = jnp.asarray(np.concatenate([centers.astype(np.float32), pad]))
@@ -339,13 +349,13 @@ def _device_bab(factory, x_bias, label, centers, eps0, n, *, max_rounds,
     boxes = 0
     while count:
         if rounds >= max_rounds:
-            return False, rounds, boxes, "rounds"
+            return False, rounds, boxes, "rounds", None
         if count > frontier_cap:
-            return False, rounds, boxes, "frontier_cap"
+            return False, rounds, boxes, "frontier_cap", None
         if boxes + count > box_budget:
-            return False, rounds, boxes, "budget"
+            return False, rounds, boxes, "budget", None
         if deadline is not None and time.time() > deadline:
-            return False, rounds, boxes, "time_budget"
+            return False, rounds, boxes, "time_budget", None
         fc, fe, count_d, ovf_d = make(M)(
             fc, fe, jnp.int32(count), x_bias, label
         )
@@ -356,7 +366,9 @@ def _device_bab(factory, x_bias, label, centers, eps0, n, *, max_rounds,
             # parents compacted but unsplit: grow capacity and retry
             # (the re-entry re-evaluates them — rare, counted in boxes)
             if M >= m_cap:
-                return False, rounds, boxes, "frontier_cap"
+                # hand the open parents back for host partitioning
+                left = (np.asarray(fc[:count]), np.asarray(fe[:count]))
+                return False, rounds, boxes, "m_cap", left
             M2 = M
             while M2 < min(4 * count, m_cap):
                 M2 *= 2
@@ -368,7 +380,7 @@ def _device_bab(factory, x_bias, label, centers, eps0, n, *, max_rounds,
         while M > m_min and count * 8 <= M:
             fc, fe = resize(M, M // 2)(fc, fe)
             M //= 2
-    return True, rounds, boxes, ""
+    return True, rounds, boxes, "", None
 
 
 def _chunked(fn, cs, es, out_specs, *, chunk, n, eps0, x_bias, label,
@@ -433,6 +445,19 @@ def _bab(box_step_fn, x_bias, label, centers, eps0, n, *, chunk,
     remaining rounds run device-resident (_device_bab) — the host path's
     per-round frontier upload dominates at that scale.
 
+    Frontiers larger than the device capacity ``device_cap`` are handled
+    by PARTITIONING, not give-up: every open box roots an independent
+    sub-tree, so when a device run overflows its capacity the compacted
+    open parents come back to the host, are split in half, and each half
+    runs to closure separately (a LIFO work-stack, depth-first — peak
+    host memory is one overflow readback, ~40 bytes/row).  The image is
+    certified iff every partition closes.  ``frontier_cap`` bounds the
+    TOTAL live rows (stack + active partition) — the blow-up guard —
+    while ``max_rounds`` bounds each partition's split depth from its
+    hand-off (any box then carries at most host_rounds + max_rounds
+    splits).  ``rounds`` in the returned stats accumulates across
+    partitions (a work metric, not a depth).
+
     Returns (closed, rounds, boxes_evaluated, gave_up)."""
 
     def chunked(cs, es):
@@ -448,14 +473,40 @@ def _bab(box_step_fn, x_bias, label, centers, eps0, n, *, chunk,
     boxes = 0
     while len(fc):
         if device_factory is not None and len(fc) >= device_min:
-            ok, r2, b2, gave = _device_bab(
-                device_factory, x_bias, label, fc, eps0, n,
-                max_rounds=max_rounds - rounds,
-                frontier_cap=frontier_cap,
-                box_budget=box_budget - boxes, fe=fe,
-                m_cap=device_cap, deadline=deadline,
-            )
-            return ok, rounds + r2, boxes + b2, gave
+            stack = [(fc, fe, max_rounds - rounds)]
+            while stack:
+                pfc, pfe, depth = stack.pop()
+                live = len(pfc) + sum(len(a) for a, _, _ in stack)
+                if live > frontier_cap:
+                    return False, rounds, boxes, "frontier_cap"
+                if boxes + len(pfc) > box_budget:
+                    return False, rounds, boxes, "budget"
+                if deadline is not None and time.time() > deadline:
+                    return False, rounds, boxes, "time_budget"
+                ok, r2, b2, gave, left = _device_bab(
+                    device_factory, x_bias, label, pfc, eps0, n,
+                    max_rounds=depth,
+                    frontier_cap=frontier_cap,
+                    box_budget=box_budget - boxes, fe=pfe,
+                    m_cap=device_cap, deadline=deadline,
+                )
+                rounds += r2
+                boxes += b2
+                if gave == "m_cap":
+                    # capacity overflow: split the open parents into two
+                    # independent sub-frontiers and run each to closure;
+                    # the depth budget follows the partition (its boxes
+                    # already carry the rounds consumed so far)
+                    if depth - r2 <= 0:
+                        return False, rounds, boxes, "rounds"
+                    lfc, lfe = left
+                    mid = len(lfc) // 2
+                    stack.append((lfc[:mid], lfe[:mid], depth - r2))
+                    stack.append((lfc[mid:], lfe[mid:], depth - r2))
+                    continue
+                if not ok:
+                    return False, rounds, boxes, gave
+            return True, rounds, boxes, ""
         if rounds >= max_rounds:
             return False, rounds, boxes, "rounds"
         if len(fc) > frontier_cap:
@@ -559,9 +610,12 @@ def refine_uncertified(
     so the passes ship with alpha off.)
 
     ``device_cap`` bounds the device-resident frontier capacity (rows);
-    2^25 keeps the round program's working set comfortably inside v5e
-    HBM, 2^26 (~5.4 GB state, donated buffers) is the measured ceiling
-    for deep-splitting images whose frontiers outgrow 2^25.
+    2^25 is the measured v5e ceiling for the fused bound+split round
+    program (2^26 fails HBM allocation at compile: 16.07 G needed vs
+    15.75 G).  Frontiers that outgrow it are host-PARTITIONED into
+    independent sub-frontiers and run to closure separately (see _bab) —
+    capacity is a scheduling bound, only ``frontier_cap`` (total live
+    rows), ``box_budget`` and ``image_seconds`` abandon an image.
 
     ``image_seconds`` caps one image's wall clock (checked between BaB
     rounds; the verdict is ``gave_up="time_budget"``): a multi-image pass

@@ -710,10 +710,11 @@ class TestRefinement:
         centers = np.zeros((3, 4), np.float32)
         # ample capacity: no overflow re-evals, so the deterministic split
         # schedule matches the host path round for round
-        ok_d, r_d, b_d, gave_d = _device_bab(
+        ok_d, r_d, b_d, gave_d, left_d = _device_bab(
             factory, None, 0, centers, 0.2, 4, max_rounds=30,
             frontier_cap=1 << 12, box_budget=1 << 20, m_min=1 << 11,
         )
+        assert left_d is None
         ok_h, r_h, b_h, gave_h = _bab(
             lambda c, e, xb, lab: jax.vmap(
                 lambda cc, ee: step_body(cc, ee, xb, lab))(c, e),
@@ -724,7 +725,7 @@ class TestRefinement:
         assert r_d == r_h  # same deterministic split schedule
         # tiny capacity: overflow -> grow -> still closes (extra re-eval
         # rounds are expected, not failures)
-        ok_g, r_g, _, gave_g = _device_bab(
+        ok_g, r_g, _, gave_g, _lg = _device_bab(
             factory, None, 0, centers, 0.2, 4, max_rounds=40,
             frontier_cap=1 << 12, box_budget=1 << 20, m_min=8,
         )
@@ -735,12 +736,20 @@ class TestRefinement:
                     jnp.argmax(e, -1).astype(jnp.int32))
 
         fac2 = _device_round_factory(hopeless, 4, 0.2, eval_chunk=8)
-        ok, rounds, boxes, gave = _device_bab(
+        ok, rounds, boxes, gave, left = _device_bab(
             fac2, None, 0, centers, 0.2, 4, max_rounds=10,
             frontier_cap=1 << 10, box_budget=1 << 14, m_min=8,
             m_cap=1 << 10,
         )
-        assert not ok and gave in ("rounds", "frontier_cap", "budget")
+        assert not ok and gave in ("rounds", "frontier_cap", "budget",
+                                   "m_cap")
+        # an m_cap give-up must hand back the compacted open parents for
+        # host partitioning; every other give-up hands back nothing
+        if gave == "m_cap":
+            assert left is not None and 0 < len(left[0]) <= (1 << 10)
+            assert left[0].shape == left[1].shape
+        else:
+            assert left is None
 
         # NaN fails closed on the device path too
         def nan_body(c, e, xb, lab):
@@ -748,12 +757,45 @@ class TestRefinement:
                     jnp.zeros(e.shape[:-1], jnp.int32))
 
         fac3 = _device_round_factory(nan_body, 4, 0.2, eval_chunk=8)
-        ok, rounds, boxes, gave = _device_bab(
+        ok, rounds, boxes, gave, _ = _device_bab(
             fac3, None, 0, centers, 0.2, 4, max_rounds=4,
             frontier_cap=1 << 8, box_budget=1 << 12, m_min=8,
             m_cap=1 << 8,
         )
         assert not ok and gave != ""
+
+    def test_device_bab_partitions_past_capacity(self):
+        # a frontier that transiently outgrows the device capacity must be
+        # host-partitioned into independent sub-frontiers and still close —
+        # capacity overflow is a scheduling event, not a verdict (_bab)
+        from fiode_tpu.verify.refine import _bab, _device_round_factory
+
+        def step_body(c, e, xb, lab):
+            # closes only after several splits: frontier grows well past
+            # the tiny m_cap below before collapsing
+            return (jnp.sum(e, -1) - 0.45,
+                    jnp.argmax(e, -1).astype(jnp.int32))
+
+        factory = _device_round_factory(step_body, 4, 0.2, eval_chunk=8)
+
+        def host_fn(c, e, xb, lab):
+            return jax.vmap(lambda cc, ee: step_body(cc, ee, xb, lab))(c, e)
+
+        centers = np.zeros((3, 4), np.float32)
+        ok_h, r_h, b_h, gave_h = _bab(
+            host_fn, None, 0, centers, 0.2, 4, chunk=8, max_rounds=40,
+            frontier_cap=1 << 16, box_budget=1 << 22,
+        )
+        assert ok_h and gave_h == ""
+        ok_d, r_d, b_d, gave_d = _bab(
+            host_fn, None, 0, centers, 0.2, 4, chunk=8, max_rounds=40,
+            frontier_cap=1 << 16, box_budget=1 << 22,
+            device_factory=factory, device_min=1, device_cap=16,
+        )
+        assert ok_d and gave_d == ""
+        # partitioning re-evaluates overflow parents: never cheaper than
+        # the single-frontier host schedule
+        assert b_d >= b_h
 
     def test_refine_device_path_matches_host_end_to_end(self, tmp_path):
         # forcing every frontier through the device-resident rounds must

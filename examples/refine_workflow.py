@@ -59,6 +59,10 @@ def main():
                     "keeps a pass over an unknown-difficulty tail "
                     "schedulable — capped images retry under a bigger cap "
                     "via the budget-stamped resume")
+    ap.add_argument("--images", default=None,
+                    help="comma-separated test indices to refine (others "
+                    "are skipped); lets a pass schedule the winnable tier "
+                    "first instead of index order")
     ap.add_argument("--chunk", type=int, default=8192)
     ap.add_argument("--superchunk", type=int, default=16)
     ap.add_argument("--out", default="refine_full.json")
@@ -149,6 +153,15 @@ def main():
               f"{f', retrying {n_retry} gave-ups under new budgets'
                  if n_retry else ''})",
               flush=True)
+
+    if args.images is not None:
+        want = {int(s) for s in args.images.split(",") if s.strip()}
+        out_of_range = sorted(i for i in want if not 0 <= i < end)
+        if out_of_range:
+            raise SystemExit(f"--images indices out of range: {out_of_range}")
+        sel = np.ones(end, bool)
+        sel[sorted(want)] = False
+        skip |= sel
 
     cert = Certifier(
         model, params, T=int(cfg.get("T", 40)),

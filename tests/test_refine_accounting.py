@@ -1,0 +1,86 @@
+"""examples/refine_accounting.py — audit folding over fabricated artifacts.
+
+Pure host-side JSON: no jax, no device. Checks the tier table the judge
+reads (recovered-by-pass attribution, survivor blockers, malformed-line
+tolerance) against a hand-built two-pass campaign.
+"""
+import json
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+import refine_accounting  # noqa: E402
+
+
+@pytest.fixture
+def campaign(tmp_path):
+    run = tmp_path
+    # base sweep: 8 images, 0/1/2 certified
+    (run / "sum.json").write_text(json.dumps(
+        {"n_images": 8, "certified_idx": [0, 1, 2]}))
+    # pass artifact (stats list shape, like refine_full_pass2.json):
+    # img 3 recovered (0.5M violated), img 4 fails at frontier_cap (2M)
+    (run / "refine_full_pass2.json").write_text(json.dumps({"stats": [
+        {"image": 3, "base_violated": 500_000, "certified": True,
+         "gave_up": ""},
+        {"image": 4, "base_violated": 2_000_000, "certified": False,
+         "gave_up": "frontier_cap"},
+        {"image": 5, "base_violated": -1, "certified": False,
+         "gave_up": "collect_cap"},
+    ]}))
+    # later stream: img 4 recovered, img 5 re-measured at 6M under a
+    # bigger collect cap and fails on time, img 6 never certified,
+    # plus one truncated line that must be tolerated
+    lines = [
+        json.dumps({"image": 4, "base_violated": 2_000_000,
+                    "certified": True, "gave_up": ""}),
+        json.dumps({"image": 5, "base_violated": 6_000_000,
+                    "certified": False, "gave_up": "time_budget"}),
+        json.dumps({"image": 6, "base_violated": 100_000,
+                    "certified": False, "gave_up": "budget"}),
+        '{"image": 7, "trunc',
+    ]
+    (run / "refine_full_pass5_stream.jsonl").write_text(
+        "\n".join(lines) + "\n")
+    return run
+
+
+def test_accounting_folds_passes_and_tiers(campaign, capsys):
+    out = refine_accounting.main(
+        ["--run-dir", str(campaign), "--summary", "sum.json"])
+    assert out["base_certified"] == 3
+    assert out["certified"] == 5          # +3 recovered, +4 recovered
+    assert out["recovered"] == 2
+    # img 7's record was truncated: not counted anywhere
+    assert out["open_images"] == [5, 6, 7]
+    tiers = out["tiers"]
+    t_small = tiers["<=1M violated"]
+    assert t_small["recovered_by"] == {"refine_full_pass2": 1}
+    assert t_small["open_blockers"] == {"budget": 1}
+    # img 4: first seen failing in pass2, certified by the pass5 stream
+    t_mid = tiers["1-4M violated"]
+    assert t_mid["recovered_by"] == {"refine_full_pass5": 1}
+    # img 5: the -1 "exceeded cap" count was replaced by the later 6M
+    # re-measurement, moving it into a real tier
+    t_big = tiers["4-16M violated"]
+    assert t_big["open_blockers"] == {"time_budget": 1}
+    assert "unknown (exceeded collect cap)" not in tiers or \
+        tiers["unknown (exceeded collect cap)"]["open"] == 1  # img 7
+    # artifact written
+    art = json.loads((campaign / "refine_accounting.json").read_text())
+    assert art["certified_acc"] == 5 / 8
+    assert "malformed" in capsys.readouterr().err
+
+
+def test_certified_verdict_is_final_across_passes(campaign):
+    # a later stream must not un-certify an image: append a FAILING
+    # record for img 3 (e.g. a stricter-budget rerun) — verdict stays
+    with (campaign / "refine_full_pass5_stream.jsonl").open("a") as f:
+        f.write(json.dumps({"image": 3, "base_violated": 500_000,
+                            "certified": False, "gave_up": "rounds"}) + "\n")
+    out = refine_accounting.main(
+        ["--run-dir", str(campaign), "--summary", "sum.json"])
+    assert out["certified"] == 5
+    assert 3 not in out["open_images"]

@@ -97,6 +97,18 @@ def main(argv=None):
     certified = base | set(cert_by)
     survivors = sorted(set(range(n)) - certified)
 
+    # exact-witness audit (examples/refute_witnesses.py): survivors whose
+    # exact Vdot + kappa is positive at a lattice point are REFUTED — no
+    # sound box method can certify them at this protocol — so the
+    # completeness denominator for refinement is n - len(refuted)
+    refuted, margins = set(), {}
+    wit_path = run_dir / "exact_witnesses.json"
+    if wit_path.exists():
+        wit = json.loads(wit_path.read_text())
+        refuted = set(wit["refuted"]) & set(survivors)
+        margins = {r["image"]: r["exact_margin"]
+                   for r in wit["witnesses"]}
+
     tiers = {}
     for img in sorted(set(cert_by) | set(survivors)):
         t = tier_of(violated.get(img))
@@ -110,8 +122,10 @@ def main(argv=None):
         else:
             row["open"] += 1
             row["open_images"].append(img)
-            blocker = last_fail.get(img, ("never_attempted", ""))[1] or \
-                ("never_attempted" if img not in last_fail else "unknown")
+            blocker = ("refuted_exact_witness" if img in refuted else
+                       last_fail.get(img, ("never_attempted", ""))[1] or
+                       ("never_attempted" if img not in last_fail
+                        else "unknown"))
             row["open_blockers"][blocker] = (
                 row["open_blockers"].get(blocker, 0) + 1)
 
@@ -125,6 +139,16 @@ def main(argv=None):
         "open_images": survivors,
         "tiers": tiers,
     }
+    if wit_path.exists():
+        tractable = sorted(set(survivors) - refuted)
+        out["refuted_exact_witness"] = sorted(refuted)
+        out["tractable_open"] = tractable
+        out["tractable_margins"] = {
+            str(i): margins[i] for i in tractable if i in margins
+        }
+        denom = n - len(refuted)
+        out["certifiable_ceiling"] = denom
+        out["completeness_vs_ceiling"] = len(certified) / denom
     (run_dir / args.out).write_text(json.dumps(out, indent=1) + "\n")
     print(json.dumps({k: out[k] for k in
                       ("base_certified", "certified", "recovered", "open")}))

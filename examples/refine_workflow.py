@@ -49,6 +49,12 @@ def main():
                     "BaB box evaluator (0 = plain CROWN). Tightens the "
                     "base bound for images whose plain-CROWN violated set "
                     "exceeds collect-cap; ~(2*iters+2)x per box")
+    ap.add_argument("--lips-box", action="store_true",
+                    help="evaluate every cell/box under min(CROWN bound, "
+                    "exact-center + local-Lipschitz bound) — never looser "
+                    "than plain CROWN, ~+1 exact forward per box; shrinks "
+                    "the collected violated set for collect_cap-tier "
+                    "images (verify/refine.py _kernels docstring)")
     ap.add_argument("--device-cap", type=int, default=1 << 25,
                     help="device-resident BaB frontier capacity (rows); "
                     "2^25 is the v5e HBM ceiling for the fused round "
@@ -117,6 +123,7 @@ def main():
         "box_budget": args.box_budget,
         "frontier_cap": args.frontier_cap,
         "alpha_iters": args.alpha_iters,
+        "lips_box": args.lips_box,
         "device_cap": args.device_cap,
         "image_seconds": args.image_seconds,
     }
@@ -188,7 +195,8 @@ def main():
         cert, ds.test_x[:end], ds.test_y[:end], certified,
         max_rounds=args.rounds, collect_cap=args.collect_cap,
         box_budget=args.box_budget, frontier_cap=args.frontier_cap,
-        alpha_iters=args.alpha_iters, device_cap=args.device_cap,
+        alpha_iters=args.alpha_iters, lips_box=args.lips_box,
+        device_cap=args.device_cap,
         image_seconds=args.image_seconds,
         chunk=args.chunk, superchunk=args.superchunk,
         progress_every=1, skip=skip, on_image=stream_image,
@@ -215,6 +223,7 @@ def main():
         "collect_cap": args.collect_cap,
         "frontier_cap": args.frontier_cap,
         "alpha_iters": args.alpha_iters,
+        "lips_box": args.lips_box,
         "base_certified": base_certified,
         "certified": int(new_cert.sum()),
         "recovered": int(new_cert.sum() - base_certified),

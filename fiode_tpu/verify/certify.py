@@ -428,6 +428,95 @@ class Certifier:
 
         return superchunk_fn
 
+    def _make_witness_chunk(self):
+        n = self.n
+
+        def one(params, feats, label, perm, eta, valid):
+            # exact Vdot at the lattice point (the larger-T quantity,
+            # certify_lipschitz.py:131,142-143) + its in-chunk argmax
+            eta_l = eta[:, perm]
+            x_in = jnp.broadcast_to(feats, (eta.shape[0], feats.shape[-1]))
+            f = self.model.eval_dot(
+                params, eta_l, x_in, scale_nominal=self.scale_nominal
+            )
+            onehot = jax.nn.one_hot(label, n, dtype=bool)
+            wrong = jnp.where(onehot, -jnp.inf, eta_l)
+            max_wrong = jnp.max(wrong, axis=-1, keepdims=True)
+            runner = (eta_l == max_wrong) & ~onehot
+            f_y = jnp.sum(jnp.where(onehot, f, 0.0), -1)
+            f_w = jnp.max(jnp.where(runner, f, -jnp.inf), -1)
+            v = jnp.where(valid, -f_y + f_w + self.kappa_lips, -jnp.inf)
+            j = jnp.argmax(v)
+            return v[j], j.astype(jnp.int32)
+
+        @jax.jit
+        def superchunk_fn(params, feats, labels, perms, etas, valids,
+                          carry, base_idx):
+            C = etas.shape[1]
+
+            def body(i, carry):
+                wv, wi = carry
+                v, j = jax.vmap(
+                    one, in_axes=(None, 0, 0, 0, None, None)
+                )(params, feats, labels, perms, etas[i], valids[i])
+                idx = base_idx + i * C + j
+                better = v > wv
+                return (jnp.where(better, v, wv),
+                        jnp.where(better, idx, wi))
+
+            with jax.default_matmul_precision(self.matmul_precision):
+                return jax.lax.fori_loop(0, etas.shape[0], body, carry)
+
+        return superchunk_fn
+
+    def exact_witness(self, images: np.ndarray, labels: np.ndarray):
+        """Per-image argmax witness of the exact grid sweep.
+
+        For each image, evaluates the EXACT Vdot + kappa_lips at every grid
+        lattice point (the larger-T certificate's quantity,
+        certify_lipschitz.py:131,142-143) and returns the maximising cell.
+        A strictly positive witness REFUTES certifiability of that image at
+        this (T, eps, kappa) protocol for any sound box method: the lattice
+        point is the center of its cell's box, so every sound upper bound
+        over any box containing it — plain/alpha CROWN, every BaB sub-box
+        chain — is >= the exact value > 0, and the grid always contains a
+        positive cell.  A negative witness is the image's exact margin: the
+        slack branch-and-bound must close with bound tightening alone.
+
+        Returns ``(values (N,), cell_idx (N,) int32 into self.grid,
+        clean (N,) bool)``.  ``cell_idx`` rows index the RAW grid (coord-0
+        tied); apply the image's label swap for label-space coordinates.
+        """
+        n_imgs = len(images)
+        labels = np.asarray(labels)
+        preds = np.asarray(self._predict(self.params, jnp.asarray(images)))
+        clean = preds == labels
+        feats = jnp.asarray(
+            np.asarray(self._features(self.params, jnp.asarray(images)))
+        )
+        labs = labels.astype(np.int32)
+        perms = np.tile(np.arange(self.n, dtype=np.int32), (n_imgs, 1))
+        perms[np.arange(n_imgs), 0] = labs
+        perms[np.arange(n_imgs), labs] = 0
+        witness_fn = self._make_witness_chunk()
+        carry = (
+            jnp.full(n_imgs, -jnp.inf, jnp.float32),
+            jnp.zeros(n_imgs, jnp.int32),
+        )
+        superchunk = 16
+        base = 0
+        labs_j, perms_j = jnp.asarray(labs), jnp.asarray(perms)
+        for etas, valids in self._iter_chunks(superchunk):
+            carry = witness_fn(
+                self.params, feats, labs_j, perms_j,
+                self._shard_cell(etas), self._shard_cell(valids),
+                carry, jnp.int32(base),
+            )
+            base += etas.shape[0] * etas.shape[1]
+        vals = np.asarray(carry[0])
+        idxs = np.asarray(carry[1])
+        return vals, idxs, clean
+
     # -- drivers -------------------------------------------------------------
 
     def _iter_chunks(self, superchunk: int = 16):

@@ -82,7 +82,7 @@ def _row_placer(cert):
     return place_rows
 
 
-def _kernels(cert, alpha_iters: int = 0):
+def _kernels(cert, alpha_iters: int = 0, lips_box: bool = False):
     """Build the jitted kernels for one Certifier's refinement pass.
 
     ``sweep_fn`` re-evaluates base cells at the uniform scalar eps — the
@@ -92,6 +92,26 @@ def _kernels(cert, alpha_iters: int = 0):
     each box's split dim in the same fused program (see its body for why).
     All take the image's x_bias as a traced argument so one compile
     serves every image.
+
+    ``lips_box`` adds a SECOND, independent sound bound to every box (and
+    base cell) and takes the elementwise minimum: the exact Vdot at the box
+    center plus the local-Lipschitz slack ``sqrt(2) * Lf_eta * ||e||_2``
+    (the lipschitz certificate's argument, certify_lipschitz.py:120-124,
+    generalized to anisotropic boxes).  Soundness: for any h in the box
+    with argmax-wrong class w*, w* is in the box-wide runner-up candidate
+    set (eta_w^ub >= max_lo — the same candidate rule as worst_case_vdot,
+    which covers argmax switching inside the box), and each
+    f_w - f_y is sqrt(2)*Lf_eta-Lipschitz, so
+    Vdot(h) <= max_{w in cand} [f_w(c) - f_y(c)] + sqrt(2)*Lf_eta*||h-c||_2.
+    The min of two sound upper bounds is sound; NaN in either propagates
+    through jnp.minimum and stays fail-closed.  The exact center value is
+    the same fixed-iteration QP evaluation the shipped lipschitz
+    certificate uses (PARITY.md numerics policy).  Unlike pure-Lipschitz
+    refinement (refine_lips.py, whose isotropic L2 slack needs ~f^(n-1)
+    boxes per factor-f shrink), here the CROWN gradient drives the splits
+    and the lips bound is a free second chance to close each box — on
+    deep sub-boxes whose CROWN slack is dominated by the QP interval step
+    it closes boxes CROWN alone cannot.
 
     ``alpha_iters > 0`` swaps the box bound inside ``box_step_fn`` for an
     alpha-CROWN one: ReLU lower slopes are optimized per box against the
@@ -106,6 +126,8 @@ def _kernels(cert, alpha_iters: int = 0):
     gradient stays plain-CROWN either way (only the split CHOICE uses it;
     any choice is sound).
     """
+    from ..models.dynamics import barrier_bounds
+    from ..ops.simplex_qp import simplex_cone_project
     from .crown import crown_mlp_bounds, optimize_crown_alphas
     from .ibp_qp import ibp_cbf_qp, ibp_sigmoid, worst_case_vdot
 
@@ -113,8 +135,41 @@ def _kernels(cert, alpha_iters: int = 0):
     bs = [jnp.asarray(b) for b in cert.bs]
     a1, a2, s1 = cert.alpha_1, cert.alpha_2, cert.sigma_1
     kappa, eps0 = cert.kappa, cert.eps
+    n_dim = cert.n
+    sqrt_n = float(np.sqrt(n_dim))
+    qp_iters = getattr(getattr(cert.model, "dynamics", None), "qp_iters", 30)
 
     place_rows = _row_placer(cert)
+
+    def exact_f(eta_l, x_rows):
+        # the dense twin's EXACT projected dynamics at a point — the same
+        # function the lipschitz certificate evaluates (eval_dot through
+        # the densified Cayley stack; classification.py:104-115 semantics)
+        a = jax.nn.relu(
+            jnp.einsum("oi,ni->no", Ws[0], eta_l) + bs[0] + x_rows
+        )
+        a = jax.nn.relu(jnp.einsum("oi,ni->no", Ws[1], a) + bs[1])
+        f_t = jnp.einsum("oi,ni->no", Ws[2], a) + bs[2]
+        lower, upper = barrier_bounds(eta_l, a1, s1, a2)
+        if cert.scale_nominal:
+            f_t = (upper - lower) * jax.nn.sigmoid(f_t) + lower
+        return simplex_cone_project(lower, f_t, qp_iters)
+
+    def lips_val(eta_l, eps, x_bias, label):
+        # exact-center + local-Lipschitz box bound (see _kernels docstring)
+        e = jnp.broadcast_to(eps, eta_l.shape)
+        x_rows = jnp.broadcast_to(x_bias, (eta_l.shape[0], x_bias.shape[-1]))
+        f = exact_f(eta_l, x_rows)
+        onehot = jax.nn.one_hot(label, n_dim, dtype=bool)
+        wrong_lo = jnp.where(onehot, -jnp.inf, eta_l - e)
+        max_lo = jnp.max(wrong_lo, axis=-1, keepdims=True)
+        runner = (eta_l + e >= max_lo) & ~onehot
+        f_y = jnp.sum(jnp.where(onehot, f, 0.0), -1)
+        f_w = jnp.max(jnp.where(runner, f, -jnp.inf), -1)
+        eta_ub = jnp.max(eta_l + e, -1)
+        lf_eta = sqrt_n * (s1 * a1 * jnp.exp(s1 * eta_ub)) + 1.0
+        dist = jnp.linalg.norm(e, axis=-1)
+        return (-f_y + f_w) + jnp.sqrt(2.0) * lf_eta * dist + kappa
 
     def post(eta_l, eps, label, lb, ub):
         # the certificate chain after the MLP bounds (shared with alpha's
@@ -153,7 +208,10 @@ def _kernels(cert, alpha_iters: int = 0):
     def sweep_fn(etas_l, x_bias, label):  # (K, C, n) label-space cells
         def body(e):
             with jax.default_matmul_precision(cert.matmul_precision):
-                return val(e, eps0, x_bias, label)
+                v = val(e, eps0, x_bias, label)
+                if lips_box:
+                    v = jnp.minimum(v, lips_val(e, eps0, x_bias, label))
+                return v
 
         return jax.lax.map(body, etas_l)
 
@@ -163,6 +221,8 @@ def _kernels(cert, alpha_iters: int = 0):
         # fused bound + split-dim for one (C, n) chunk (see box_step_fn)
         with jax.default_matmul_precision(cert.matmul_precision):
             v = box_val(c, e, x_bias, label)
+            if lips_box:
+                v = jnp.minimum(v, lips_val(c, e, x_bias, label))
             _, vjp = jax.vjp(lambda ee: val(c, ee, x_bias, label), e)
             (g,) = vjp(jnp.ones_like(v))
             # +tiny: a vanished gradient degrades to widest-dim split
@@ -573,6 +633,7 @@ def refine_uncertified(
     skip: Optional[np.ndarray] = None,
     on_image=None,
     alpha_iters: int = 0,
+    lips_box: bool = False,
     device_min: int = 1 << 21,
     device_cap: int = 1 << 25,
     image_seconds: Optional[float] = None,
@@ -609,6 +670,14 @@ def refine_uncertified(
     <=0.25% of violated cells — run_data/certified_full/alpha_probe.json —
     so the passes ship with alpha off.)
 
+    ``lips_box = True`` evaluates every base cell and BaB box under the
+    elementwise MIN of the CROWN bound and the exact-center +
+    local-Lipschitz bound (see ``_kernels``): never looser, sound by the
+    min-of-sound-bounds argument, ~+1 exact forward per box.  Because the
+    base sweep also takes the min, the violated set this pass collects can
+    be strictly smaller than the plain-CROWN one — collect_cap-tier images
+    can become collectable.
+
     ``device_cap`` bounds the device-resident frontier capacity (rows);
     2^25 is the measured v5e ceiling for the fused bound+split round
     program (2^26 fails HBM allocation at compile: 16.07 G needed vs
@@ -644,7 +713,7 @@ def refine_uncertified(
         return certified, stats
 
     sweep_fn, box_step_fn, place_rows, device_factory = _kernels(
-        cert, alpha_iters=alpha_iters
+        cert, alpha_iters=alpha_iters, lips_box=lips_box
     )
     feats = np.asarray(cert._features(cert.params, jnp.asarray(images[todo])))
     x_biases = feats @ np.asarray(cert.U).T + np.asarray(cert.bU)

@@ -74,6 +74,30 @@ def test_accounting_folds_passes_and_tiers(campaign, capsys):
     assert "malformed" in capsys.readouterr().err
 
 
+def test_witness_audit_splits_open_into_refuted_and_tractable(campaign):
+    # exact_witnesses.json present: refuted survivors get the
+    # refuted_exact_witness blocker, the ceiling excludes them, and
+    # tractable margins are surfaced for scheduling
+    (campaign / "exact_witnesses.json").write_text(json.dumps({
+        "refuted": [5, 3],  # 3 is certified -> must NOT count as refuted
+        "tractable": [6, 7],
+        "witnesses": [
+            {"image": 5, "exact_margin": -0.1},   # refuted: margin unused
+            {"image": 6, "exact_margin": 0.05},
+            {"image": 7, "exact_margin": 0.2},
+        ],
+    }))
+    out = refine_accounting.main(
+        ["--run-dir", str(campaign), "--summary", "sum.json"])
+    assert out["refuted_exact_witness"] == [5]
+    assert out["tractable_open"] == [6, 7]
+    assert out["certifiable_ceiling"] == 7          # 8 - 1 refuted
+    assert out["completeness_vs_ceiling"] == 5 / 7
+    assert out["tractable_margins"] == {"6": 0.05, "7": 0.2}
+    big = out["tiers"]["4-16M violated"]
+    assert big["open_blockers"] == {"refuted_exact_witness": 1}
+
+
 def test_certified_verdict_is_final_across_passes(campaign):
     # a later stream must not un-certify an image: append a FAILING
     # record for img 3 (e.g. a stricter-budget rerun) — verdict stays

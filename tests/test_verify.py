@@ -505,6 +505,44 @@ class TestCertifierEndToEnd:
         with pytest.raises(ValueError, match="mixed-generation"):
             summarize_stream(str(mixed))
 
+    def test_exact_witness_matches_bruteforce_and_larger_T(self, tmp_path):
+        """exact_witness returns the argmax of the exact grid sweep — the
+        refutation witness when positive.  Oracle: brute-force exact Vdot
+        over the full grid per image; consistency: witness < 0 iff the
+        image passes the larger-T certificate (same quantity, pass/fail
+        form — certify_lipschitz.py:131,142-143)."""
+        model, params, x = self._make(tmp_path)
+        y = np.asarray([0, 1, 2, 0, 1, 2])
+        cert = Certifier(model, params, T=8, eps_input=0.1, chunk=64)
+        vals, idxs, clean = cert.exact_witness(np.asarray(x), y)
+        grid = cert.grid
+        feats = np.asarray(cert._features(cert.params, jnp.asarray(x)))
+        for k in range(len(y)):
+            label = int(y[k])
+            perm = np.arange(3)
+            perm[0], perm[label] = label, 0
+            eta_l = grid[:, perm]
+            f = np.asarray(model.eval_dot(
+                params, jnp.asarray(eta_l),
+                jnp.broadcast_to(jnp.asarray(feats[k]),
+                                 (len(grid), feats.shape[-1])),
+                scale_nominal=False,
+            ))
+            onehot = np.arange(3) == label
+            wrong = np.where(onehot, -np.inf, eta_l)
+            mw = wrong.max(-1, keepdims=True)
+            runner = (eta_l == mw) & ~onehot
+            f_y = np.where(onehot, f, 0.0).sum(-1)
+            f_w = np.where(runner, f, -np.inf).max(-1)
+            v = -f_y + f_w + cert.kappa_lips
+            assert np.isclose(vals[k], v.max(), rtol=1e-5, atol=1e-6)
+            assert np.isclose(v[idxs[k]], vals[k], rtol=1e-5, atol=1e-6)
+        res_l = cert.certify(np.asarray(x), y, method="lipschitz",
+                             early_exit=False)
+        np.testing.assert_array_equal(
+            res_l.larger_T_certified[clean], (vals < 0)[clean]
+        )
+
     def test_empty_grid_rejected(self, tmp_path):
         model, params, x = self._make(tmp_path)
         with pytest.raises(ValueError):
@@ -661,6 +699,79 @@ class TestRefinement:
         assert len(stats) == int((res_c.clean & ~res_c.certified).sum())
         for s in stats:
             assert s.certified == bool(new_cert[s.image])
+
+    def test_lips_box_bound_sound_fuzz(self, tmp_path):
+        """The hybrid min(CROWN, exact-center + local-Lipschitz) box bound
+        must upper-bound the exact Vdot at every sampled point of every
+        box — including points whose argmax-wrong class differs from the
+        center's (the box-wide runner-candidate rule covers switching)."""
+        from fiode_tpu.verify.refine import _kernels
+
+        maker = TestCertifierEndToEnd()
+        model, params, x = maker._make(tmp_path)
+        y = np.asarray([0, 1, 2, 0, 1, 2])
+        cert = Certifier(model, params, T=8, eps_input=0.1, chunk=64)
+        _, box_step_fn, _, _ = _kernels(cert, lips_box=True)
+        feats = np.asarray(cert._features(cert.params, jnp.asarray(x)))
+        x_biases = feats @ np.asarray(cert.U).T + np.asarray(cert.bU)
+        rng = np.random.default_rng(0)
+        n = cert.n
+        for k in (0, 3):
+            label = int(y[k])
+            perm = np.arange(n)
+            perm[0], perm[label] = label, 0
+            # random boxes near the simplex, anisotropic widths
+            C = 16
+            centers = rng.dirichlet(np.ones(n), C).astype(np.float32)
+            epss = (rng.uniform(0.01, 0.15, (C, n))).astype(np.float32)
+            vals, _ = box_step_fn(
+                jnp.asarray(centers[None]), jnp.asarray(epss[None]),
+                jnp.asarray(x_biases[k]), label,
+            )
+            vals = np.asarray(vals)[0]
+            # sample points inside each box, exact Vdot with argmax-at-h
+            u = rng.uniform(-1.0, 1.0, (C, 8, n)).astype(np.float32)
+            pts = centers[:, None, :] + u * epss[:, None, :]
+            flat = pts.reshape(-1, n)
+            x_in = np.broadcast_to(feats[k], (len(flat), feats.shape[-1]))
+            f = np.asarray(model.eval_dot(
+                params, jnp.asarray(flat), jnp.asarray(x_in),
+                scale_nominal=False,
+            ))
+            onehot = np.arange(n) == label
+            wrong = np.where(onehot, -np.inf, flat)
+            mw = wrong.max(-1, keepdims=True)
+            tie = (wrong == mw)
+            f_y = np.where(onehot, f, 0.0).sum(-1)
+            f_w = np.where(tie, f, -np.inf).max(-1)
+            vdot = (-f_y + f_w + cert.kappa).reshape(C, 8)
+            assert (vdot.max(-1) <= vals + 1e-4).all(), (
+                "hybrid box bound below an exact sampled Vdot"
+            )
+
+    def test_refine_lips_box_sound_and_never_looser(self, tmp_path):
+        # lips_box=True: same soundness containment as plain refinement,
+        # and (same budgets, same split choices) never certifies fewer
+        from fiode_tpu.verify.refine import refine_uncertified
+
+        maker = TestCertifierEndToEnd()
+        model, params, x = maker._make(tmp_path)
+        y = np.asarray([0, 1, 2, 0, 1, 2])
+        cert = Certifier(model, params, T=8, eps_input=0.1, chunk=64)
+        res_c = cert.certify(np.asarray(x), y, method="crown",
+                             early_exit=False)
+        res_l = cert.certify(np.asarray(x), y, method="lipschitz",
+                             early_exit=False)
+        kw = dict(clean=res_c.clean, chunk=64, superchunk=4, max_rounds=6,
+                  frontier_cap=4096, box_budget=20000)
+        plain_cert, _ = refine_uncertified(
+            cert, np.asarray(x), y, res_c.certified, **kw)
+        hyb_cert, stats = refine_uncertified(
+            cert, np.asarray(x), y, res_c.certified, lips_box=True, **kw)
+        assert (~plain_cert | hyb_cert).all(), "hybrid lost a plain verdict"
+        assert (~hyb_cert | res_l.larger_T_certified).all(), (
+            "hybrid certified an image with exact grid violations"
+        )
 
     def test_refine_skip_and_on_image_resume(self, tmp_path):
         # the resume hooks: on_image streams every verdict; a second call

@@ -749,6 +749,45 @@ class TestRefinement:
                 "hybrid box bound below an exact sampled Vdot"
             )
 
+    def test_hybrid_base_sweep_dominates_and_consistent(self, tmp_path):
+        """hybrid_base_sweep (min of the CROWN and exact+Lipschitz cell
+        bounds) must certify a superset of the plain CROWN certifier, have
+        per-image violated counts <= the plain sweep's, and stay inside
+        the exact-grid (larger-T) certified oracle."""
+        from fiode_tpu.verify.refine import hybrid_base_sweep
+
+        maker = TestCertifierEndToEnd()
+        model, params, x = maker._make(tmp_path)
+        y = np.asarray([0, 1, 2, 0, 1, 2])
+        cert = Certifier(model, params, T=8, eps_input=0.1, chunk=64)
+        res_c = cert.certify(np.asarray(x), y, method="crown",
+                             early_exit=False)
+        res_l = cert.certify(np.asarray(x), y, method="lipschitz",
+                             early_exit=False)
+        hyb = hybrid_base_sweep(cert, np.asarray(x), y,
+                                chunk=32, superchunk=2)
+        plain = hybrid_base_sweep(cert, np.asarray(x), y, lips_box=False,
+                                  chunk=32, superchunk=2)
+        assert [s.image for s in hyb] == list(range(6))
+        for h, p in zip(hyb, plain):
+            assert h.clean == bool(res_c.clean[h.image])
+            # dominates the plain CROWN sweep cell-by-cell
+            assert h.n_violated <= p.n_violated
+            assert h.worst <= p.worst + 1e-5
+            # plain sweep agrees with the Certifier's own CROWN verdict
+            assert p.certified == bool(res_c.certified[p.image])
+            # hybrid certifies a superset of BOTH base certificates
+            if res_c.certified[h.image] or res_l.certified[h.image]:
+                assert h.certified
+            # consistency: certified implies no exact grid violation
+            if h.certified:
+                assert bool(res_l.larger_T_certified[h.image])
+        # skip mask excludes images from the sweep
+        sk = np.array([True, False, True, True, True, True])
+        part = hybrid_base_sweep(cert, np.asarray(x), y, skip=sk,
+                                 chunk=32, superchunk=2)
+        assert [s.image for s in part] == [1]
+
     def test_refine_lips_box_sound_and_never_looser(self, tmp_path):
         # lips_box=True: same soundness containment as plain refinement,
         # and (same budgets, same split choices) never certifies fewer

@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--run-dir", default="run_data/certified_full")
     ap.add_argument("--summary", default="certify_stream_full.summary.json")
     ap.add_argument("--config-name", default="cifar_certify.yaml")
+    ap.add_argument("overrides", nargs="*",
+                    help="hydra-style ++key=value overrides (e.g. ++T=6 "
+                    "for a small-lattice smoke drive)")
     ap.add_argument("--end", type=int, default=512)
     ap.add_argument("--rounds", type=int, default=40)
     ap.add_argument("--collect-cap", type=int, default=4_000_000)
@@ -67,8 +70,10 @@ def main():
                     "via the budget-stamped resume")
     ap.add_argument("--images", default=None,
                     help="comma-separated test indices to refine (others "
-                    "are skipped); lets a pass schedule the winnable tier "
-                    "first instead of index order")
+                    "are skipped), PROCESSED IN THE GIVEN ORDER; lets a "
+                    "pass schedule the winnable tier first (e.g. by "
+                    "descending exact-witness margin, see "
+                    "examples/refute_witnesses.py) instead of index order")
     ap.add_argument("--chunk", type=int, default=8192)
     ap.add_argument("--superchunk", type=int, default=16)
     ap.add_argument("--out", default="refine_full.json")
@@ -99,7 +104,7 @@ def main():
             "refines test indices from 0 — re-run the sweep with "
             "++start_ind=0 or translate certified_idx yourself"
         )
-    cfg = compose(args.config_name, [], "configs/certify")
+    cfg = compose(args.config_name, args.overrides, "configs/certify")
     model = build_model(cfg)
     params = _restore_params(cfg, model, str(run_dir))
     ds = _load_cfg_dataset(cfg)
@@ -161,13 +166,14 @@ def main():
                  if n_retry else ''})",
               flush=True)
 
+    order = None
     if args.images is not None:
-        want = {int(s) for s in args.images.split(",") if s.strip()}
-        out_of_range = sorted(i for i in want if not 0 <= i < end)
+        order = [int(s) for s in args.images.split(",") if s.strip()]
+        out_of_range = sorted(i for i in order if not 0 <= i < end)
         if out_of_range:
             raise SystemExit(f"--images indices out of range: {out_of_range}")
         sel = np.ones(end, bool)
-        sel[sorted(want)] = False
+        sel[order] = False
         skip |= sel
 
     cert = Certifier(
@@ -200,6 +206,7 @@ def main():
         image_seconds=args.image_seconds,
         chunk=args.chunk, superchunk=args.superchunk,
         progress_every=1, skip=skip, on_image=stream_image,
+        order=order,
     )
     # fold resumed images' stats back in (fresh entries win on conflict);
     # tolerate older-generation records (missing fields get dataclass

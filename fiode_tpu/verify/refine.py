@@ -638,6 +638,7 @@ def refine_uncertified(
     device_min: int = 1 << 21,
     device_cap: int = 1 << 25,
     image_seconds: Optional[float] = None,
+    order: Optional[np.ndarray] = None,
 ):
     """BaB-refine every clean-but-uncertified image of a CROWN sweep.
 
@@ -709,6 +710,17 @@ def refine_uncertified(
     if skip is not None:
         todo_mask &= ~np.asarray(skip, bool)
     todo = np.nonzero(todo_mask)[0]
+    if order is not None:
+        # schedule in the caller's order (e.g. exact-witness margin,
+        # easiest first) so quick wins land before budget-hungry images;
+        # unlisted todo images run after the listed ones, index order;
+        # repeats keep their first occurrence, non-todo entries are ignored
+        listed = []
+        for i in np.asarray(order, int):
+            if todo_mask[i] and i not in listed:
+                listed.append(int(i))
+        todo = np.asarray(
+            listed + [int(i) for i in todo if i not in set(listed)], int)
     stats = []
     if not len(todo):
         return certified, stats

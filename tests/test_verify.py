@@ -843,6 +843,44 @@ class TestRefinement:
         assert re_stats == []
         np.testing.assert_array_equal(re_cert, full_cert)
 
+    def test_refine_order_schedules_but_does_not_change_verdicts(
+            self, tmp_path):
+        # order= (witness-margin scheduling) must only permute processing:
+        # on_image fires in the given order (unlisted todo images after,
+        # index order), and the final certified set is order-invariant
+        from fiode_tpu.verify.refine import refine_uncertified
+
+        maker = TestCertifierEndToEnd()
+        model, params, x = maker._make(tmp_path)
+        y = np.asarray([0, 1, 2, 0, 1, 2])
+        cert = Certifier(model, params, T=8, eps_input=0.1, chunk=64)
+        res_c = cert.certify(np.asarray(x), y, method="crown",
+                             early_exit=False)
+        kw = dict(clean=res_c.clean, chunk=64, superchunk=4, max_rounds=6,
+                  frontier_cap=4096, box_budget=20000)
+        base_cert, base_stats = refine_uncertified(
+            cert, np.asarray(x), y, res_c.certified, **kw)
+        todo = [s.image for s in base_stats]
+        if len(todo) < 2:
+            import pytest
+            pytest.skip("fixture certified too much to exercise ordering")
+        # reversed explicit order, with the first todo image left unlisted
+        order = todo[::-1][:-1]
+        seen = []
+        ord_cert, _ = refine_uncertified(
+            cert, np.asarray(x), y, res_c.certified,
+            order=order, on_image=lambda s: seen.append(s.image), **kw)
+        assert seen == order + [todo[0]]
+        np.testing.assert_array_equal(ord_cert, base_cert)
+        # order entries outside the todo set are ignored, not processed
+        seen2 = []
+        ord2_cert, _ = refine_uncertified(
+            cert, np.asarray(x), y, res_c.certified,
+            order=np.asarray(todo[::-1] + todo),
+            on_image=lambda s: seen2.append(s.image), **kw)
+        assert seen2 == todo[::-1]
+        np.testing.assert_array_equal(ord2_cert, base_cert)
+
     def test_device_bab_matches_host_on_analytic_bound(self):
         # the device-resident rounds (eval -> compact -> split on device)
         # must reach the same verdict as the host path on the analytic

@@ -74,6 +74,15 @@ def main():
                     "pass schedule the winnable tier first (e.g. by "
                     "descending exact-witness margin, see "
                     "examples/refute_witnesses.py) instead of index order")
+    ap.add_argument("--order-by-witness", nargs="?", metavar="WITNESS_JSON",
+                    const="exact_witnesses.json", default=None,
+                    help="schedule the todo images by DESCENDING exact "
+                    "margin from a refute_witnesses.py artifact (path "
+                    "relative to --run-dir; default exact_witnesses.json), "
+                    "skipping its refuted images entirely — no sound box "
+                    "method can certify those at the protocol, so their "
+                    "budget is pure waste. Images absent from the audit "
+                    "run after the audited ones, index order")
     ap.add_argument("--chunk", type=int, default=8192)
     ap.add_argument("--superchunk", type=int, default=16)
     ap.add_argument("--out", default="refine_full.json")
@@ -167,6 +176,18 @@ def main():
               flush=True)
 
     order = None
+    if args.order_by_witness is not None:
+        audit = json.loads((run_dir / args.order_by_witness).read_text())
+        ws = sorted(audit["witnesses"], key=lambda w: -w["exact_margin"])
+        order = [int(w["image"]) for w in ws if w["verdict"] == "tractable"]
+        refuted = [int(w["image"]) for w in ws if w["verdict"] == "refuted"]
+        if refuted:
+            sel = np.zeros(end, bool)
+            sel[[i for i in refuted if i < end]] = True
+            skip |= sel
+            print(f"witness audit: skipping {int(sel.sum())} refuted "
+                  f"images (uncertifiable at the protocol), scheduling "
+                  f"{len(order)} tractable by descending margin", flush=True)
     if args.images is not None:
         order = [int(s) for s in args.images.split(",") if s.strip()]
         out_of_range = sorted(i for i in order if not 0 <= i < end)

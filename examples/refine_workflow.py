@@ -49,9 +49,11 @@ def main():
     ap.add_argument("--frontier-cap", type=int, default=1 << 20)
     ap.add_argument("--alpha-iters", type=int, default=0,
                     help="alpha-CROWN slope-optimization iterations in the "
-                    "BaB box evaluator (0 = plain CROWN). Tightens the "
-                    "base bound for images whose plain-CROWN violated set "
-                    "exceeds collect-cap; ~(2*iters+2)x per box")
+                    "BaB box evaluator (0 = plain CROWN). MEASURED: DOES "
+                    "NOT PAY on this workload — 0 images recovered at ~11x "
+                    "cost per box (274K vs 3.07M cells/s, "
+                    "run_data/certified_full/ALPHA_CROWN.json); keep 0 "
+                    "unless re-measuring on a different model")
     ap.add_argument("--lips-box", action="store_true",
                     help="evaluate every cell/box under min(CROWN bound, "
                     "exact-center + local-Lipschitz bound) — never looser "
@@ -75,14 +77,20 @@ def main():
                     "descending exact-witness margin, see "
                     "examples/refute_witnesses.py) instead of index order")
     ap.add_argument("--order-by-witness", nargs="?", metavar="WITNESS_JSON",
-                    const="exact_witnesses.json", default=None,
+                    const="exact_witnesses.json", default="auto",
                     help="schedule the todo images by DESCENDING exact "
                     "margin from a refute_witnesses.py artifact (path "
                     "relative to --run-dir; default exact_witnesses.json), "
                     "skipping its refuted images entirely — no sound box "
                     "method can certify those at the protocol, so their "
-                    "budget is pure waste. Images absent from the audit "
-                    "run after the audited ones, index order")
+                    "budget is pure waste (pass 5 burned 203M boxes on "
+                    "refuted image 24 before this audit existed). Images "
+                    "absent from the audit run after the audited ones, "
+                    "index order. DEFAULT: auto-loads "
+                    "<run-dir>/exact_witnesses.json when present")
+    ap.add_argument("--no-witness-order", action="store_true",
+                    help="disable the witness-audit default: plain index "
+                    "order, refuted images NOT skipped")
     ap.add_argument("--chunk", type=int, default=8192)
     ap.add_argument("--superchunk", type=int, default=16)
     ap.add_argument("--out", default="refine_full.json")
@@ -141,7 +149,8 @@ def main():
         "device_cap": args.device_cap,
         "image_seconds": args.image_seconds,
     }
-    stream_path = run_dir / (Path(args.out).stem + "_stream.jsonl")
+    out_path = run_dir / args.out  # pathlib: absolute args.out wins
+    stream_path = out_path.with_name(out_path.stem + "_stream.jsonl")
     streamed = {}
     if stream_path.exists():
         for ln, line in enumerate(stream_path.read_text().splitlines(), 1):
@@ -176,23 +185,49 @@ def main():
               flush=True)
 
     order = None
-    if args.order_by_witness is not None:
-        audit = json.loads((run_dir / args.order_by_witness).read_text())
+    refuted_set = set()
+    wit_arg = args.order_by_witness
+    if args.no_witness_order:
+        wit_arg = None
+    elif wit_arg == "auto":
+        wit_arg = ("exact_witnesses.json"
+                   if (run_dir / "exact_witnesses.json").exists() else None)
+    if wit_arg is not None:
+        audit = json.loads((run_dir / wit_arg).read_text())
         ws = sorted(audit["witnesses"], key=lambda w: -w["exact_margin"])
-        order = [int(w["image"]) for w in ws if w["verdict"] == "tractable"]
-        refuted = [int(w["image"]) for w in ws if w["verdict"] == "refuted"]
-        if refuted:
+        order = [int(w["image"]) for w in ws
+                 if w["verdict"] == "tractable" and 0 <= int(w["image"]) < end]
+        refuted_set = {int(w["image"]) for w in ws
+                       if w["verdict"] == "refuted"
+                       and 0 <= int(w["image"]) < end}
+        if refuted_set:
             sel = np.zeros(end, bool)
-            sel[[i for i in refuted if i < end]] = True
+            sel[sorted(refuted_set)] = True
             skip |= sel
-            print(f"witness audit: skipping {int(sel.sum())} refuted "
-                  f"images (uncertifiable at the protocol), scheduling "
-                  f"{len(order)} tractable by descending margin", flush=True)
+            print(f"witness audit ({wit_arg}): skipping {len(refuted_set)} "
+                  f"refuted images (uncertifiable at the protocol), "
+                  f"scheduling {len(order)} tractable by descending margin",
+                  flush=True)
     if args.images is not None:
         order = [int(s) for s in args.images.split(",") if s.strip()]
         out_of_range = sorted(i for i in order if not 0 <= i < end)
         if out_of_range:
             raise SystemExit(f"--images indices out of range: {out_of_range}")
+        # an explicit listing overrides the witness refuted-skip: the user
+        # asked for exactly these images, so un-skip any that the audit
+        # refuted (resume skips for already-streamed verdicts still hold)
+        overridden = sorted(set(order) & refuted_set)
+        if overridden:
+            resk = np.zeros(end, bool)
+            for i, rec in streamed.items():
+                if i < end and (rec["certified"]
+                                or rec.get("params") == budget_params):
+                    resk[i] = True
+            for i in overridden:
+                skip[i] = resk[i]
+            print(f"--images overrides the witness refuted-skip for "
+                  f"{overridden} (audit says these are uncertifiable at "
+                  f"the protocol — budget will be spent anyway)", flush=True)
         sel = np.ones(end, bool)
         sel[order] = False
         skip |= sel
@@ -263,12 +298,12 @@ def main():
         "seconds": time.time() - t0,
         "stats": [dataclasses.asdict(s) for s in stats],
     }
-    (run_dir / args.out).write_text(json.dumps(out, indent=1))
+    out_path.write_text(json.dumps(out, indent=1))
     print(
         f"certified {out['base_certified']} -> {out['certified']} "
         f"(+{out['recovered']}) of {end} "
         f"[{out['certified_acc']:.4f}] in {out['seconds']:.0f}s "
-        f"-> {run_dir / args.out}",
+        f"-> {out_path}",
         flush=True,
     )
 

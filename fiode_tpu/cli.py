@@ -13,6 +13,9 @@ Usage (hydra-compatible override spelling):
      lipschitz grid-gap slack via verify/refine_lips.py)
   python -m fiode_tpu eval-autoattack   --config-name cifar_certify --run-dir RUN
   python -m fiode_tpu summarize-stream  RUN/certify_stream.jsonl [--out SUMMARY.json]
+  python -m fiode_tpu data-check     [--dataset CIFAR10] [--data-root data]
+    (verifies dropped-in real dataset files by structure + sha256 and
+     prints the accuracy-parity commands — BASELINE.md "Blocked")
   python -m fiode_tpu segway-train   [--save PATH]
   python -m fiode_tpu segway-certify [--model PATH]
 
@@ -93,6 +96,11 @@ def main(argv=None):
                     help="write a JSON artifact (knobs, robust_idx, "
                     "throughput) here")
 
+    sp = sub.add_parser("data-check")
+    sp.add_argument("--dataset", default="CIFAR10",
+                    help="MNIST / FashionMNIST / CIFAR10 / CIFAR3")
+    sp.add_argument("--data-root", default="data")
+
     sp = sub.add_parser("segway-train")
     sp.add_argument("--save", default="run_data/segway.pkl")
     sp.add_argument("--iters", type=int, default=300)
@@ -159,6 +167,33 @@ def main(argv=None):
             ),
             out_path=args.out,
         )
+    elif args.cmd == "data-check":
+        import json
+        import sys
+
+        from .train.data import check_data_root
+
+        report = check_data_root(args.dataset, args.data_root)
+        print(json.dumps(report, indent=1))
+        if report["ok"]:
+            print(
+                "\nReal {0} files verified. The accuracy-parity protocol "
+                "(BASELINE.md) is now one command per stage:\n"
+                "  python -m fiode_tpu train --config-name "
+                "cifar_train.yaml --run-dir run_data/real "
+                "++data_root={1}\n"
+                "  python -m fiode_tpu certify-crown --config-name "
+                "cifar_certify.yaml --run-dir run_data/real "
+                "++data_root={1} --image-batch 16 --stream-out "
+                "run_data/real/certify_stream.jsonl\n"
+                "  python -m fiode_tpu eval-autoattack --config-name "
+                "cifar_certify.yaml --run-dir run_data/real "
+                "++data_root={1} --out run_data/real/autoattack.json"
+                .format(args.dataset, args.data_root))
+        else:
+            print("\nNOT READY: " + "; ".join(report["errors"]),
+                  file=sys.stderr)
+            sys.exit(1)
     elif args.cmd == "segway-train":
         from .control.train_segway import SegwayTrainConfig, train_segway
 

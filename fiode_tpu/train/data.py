@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["Dataset", "load_dataset", "augment_batch", "DATASET_INFO"]
+__all__ = ["Dataset", "load_dataset", "augment_batch", "check_data_root",
+           "DATASET_INFO"]
 
 DATASET_INFO = {
     # name: (channels, size, n_classes, mu, std)
@@ -222,6 +223,81 @@ def load_dataset(
         vx, vy = sx, sy
 
     return Dataset(name, tx, ty, vx, vy, sx, sy, n_classes, synthetic)
+
+
+def check_data_root(name: str, data_root: str = "data") -> dict:
+    """Dry-check dropped-in real dataset files (no device work).
+
+    The ±0.5% accuracy-parity claim (BASELINE.md "Blocked") needs real
+    MNIST idx / CIFAR batch files this zero-egress box does not ship.
+    This verifies a drop-in by structure — file discovery through the
+    same ``load_dataset`` probing order, then shape / dtype / label-range
+    / per-class-count / pixel-statistics invariants plus a sha256 of the
+    raw arrays — so the day files appear, ``fiode_tpu data-check`` says
+    in seconds whether the parity run is ready (reference loaders:
+    dataset_loaders.py:18-136 trust torchvision's own checksums instead).
+
+    Returns a JSON-able report; ``report["ok"]`` is the verdict.
+    """
+    import hashlib
+
+    report = {"dataset": name, "data_root": data_root, "ok": False,
+              "checks": [], "errors": []}
+
+    def check(label, cond, detail=""):
+        report["checks"].append(
+            {"check": label, "ok": bool(cond), "detail": detail})
+        if not cond:
+            report["errors"].append(f"{label}: {detail}")
+        return bool(cond)
+
+    try:
+        ds = load_dataset(name, data_root=data_root, allow_synthetic=False)
+    except (FileNotFoundError, ValueError) as e:
+        report["errors"].append(str(e))
+        layout = ("data/<name>[/raw]/{train,t10k}-{images,labels}-idx*-ubyte"
+                  "[.gz]" if name in ("MNIST", "FashionMNIST") else
+                  "data/cifar-10-batches-py/{data_batch_1..5,test_batch} or "
+                  "data/cifar-10-batches-bin/*.bin")
+        report["expected_layout"] = layout
+        return report
+
+    C, S, n_classes, mu, _ = DATASET_INFO[name]
+    n_train_expect = {"MNIST": 60000, "FashionMNIST": 60000,
+                      "CIFAR10": 50000, "CIFAR3": 15000}[name]
+    n_test_expect = {"MNIST": 10000, "FashionMNIST": 10000,
+                     "CIFAR10": 10000, "CIFAR3": 3000}[name]
+    n_total_train = len(ds.train_x) + (
+        len(ds.val_x) if name in ("MNIST", "FashionMNIST") else 0)
+    check("not synthetic", not ds.synthetic)
+    check("train size", n_total_train == n_train_expect,
+          f"{n_total_train} vs {n_train_expect}")
+    check("test size", len(ds.test_x) == n_test_expect,
+          f"{len(ds.test_x)} vs {n_test_expect}")
+    check("image shape", ds.test_x.shape[1:] == (C, S, S),
+          f"{ds.test_x.shape[1:]} vs {(C, S, S)}")
+    check("pixel range", float(ds.test_x.min()) >= 0.0
+          and float(ds.test_x.max()) <= 1.0,
+          f"[{float(ds.test_x.min()):.3f}, {float(ds.test_x.max()):.3f}]")
+    labels = np.concatenate([ds.train_y, ds.test_y])
+    check("label range", labels.min() >= 0 and labels.max() < ds.n_classes,
+          f"[{labels.min()}, {labels.max()}] vs [0, {ds.n_classes})")
+    counts = np.bincount(ds.test_y, minlength=ds.n_classes)
+    # real test sets are class-balanced to within a few % (exactly 1000
+    # per class for CIFAR-10; MNIST varies 892..1135)
+    check("test class balance",
+          counts.min() > 0.8 * counts.mean(),
+          f"per-class test counts {counts.tolist()}")
+    px_mean = float(ds.test_x.mean())
+    mu_bar = float(np.mean(mu))
+    check("pixel mean sanity", abs(px_mean - mu_bar) < 0.2,
+          f"test-set mean {px_mean:.4f} vs canonical ~{mu_bar:.4f}")
+    report["sha256_test_x"] = hashlib.sha256(
+        np.ascontiguousarray(ds.test_x)).hexdigest()
+    report["sha256_test_y"] = hashlib.sha256(
+        np.ascontiguousarray(ds.test_y)).hexdigest()
+    report["ok"] = not report["errors"]
+    return report
 
 
 def augment_batch(key, x):

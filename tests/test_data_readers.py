@@ -210,3 +210,66 @@ def test_synthetic_hardness_shrinks_class_separation():
         return np.sqrt((d ** 2).sum(-1).sum(-1).sum(-1)).mean() / within
 
     assert sep(0.8) < 0.5 * sep(0.0)
+
+
+# ---- data-check dry run (BASELINE.md "Blocked" readiness command) ----
+
+def _fabricate_full_mnist(root, rng):
+    """Full-size (60k/10k) MNIST-shaped idx files with realistic pixel
+    statistics (sparse bright pixels -> mean ~0.13) and balanced labels."""
+    raw = root / "MNIST" / "raw"
+    raw.mkdir(parents=True)
+    def imgs(n):
+        return (rng.random((n, 28, 28)) < 0.13).astype(np.uint8) * 255
+    def labs(n):
+        return (np.arange(n) % 10).astype(np.uint8)
+    _write_idx_images(raw / "train-images-idx3-ubyte", imgs(60000))
+    _write_idx_labels(raw / "train-labels-idx1-ubyte", labs(60000))
+    _write_idx_images(raw / "t10k-images-idx3-ubyte", imgs(10000))
+    _write_idx_labels(raw / "t10k-labels-idx1-ubyte", labs(10000))
+
+
+def test_data_check_missing_reports_layout(tmp_path):
+    from fiode_tpu.train.data import check_data_root
+
+    rep = check_data_root("CIFAR10", str(tmp_path))
+    assert not rep["ok"]
+    assert "cifar-10-batches" in rep["expected_layout"]
+
+
+def test_data_check_rejects_wrong_size_files(tmp_path):
+    """Tiny fabricated files are found and parsed but are NOT the real
+    dataset — data-check must say not-ready, not silently pass."""
+    from fiode_tpu.train.data import check_data_root
+
+    rng = np.random.default_rng(0)
+    _make_cifar_pickle(tmp_path, rng, per_batch=4)
+    rep = check_data_root("CIFAR10", str(tmp_path))
+    assert not rep["ok"]
+    by_name = {c["check"]: c["ok"] for c in rep["checks"]}
+    assert by_name["not synthetic"]          # real files were read...
+    assert not by_name["train size"]         # ...but they are not CIFAR-10
+
+
+def test_data_check_passes_on_full_size_mnist(tmp_path):
+    from fiode_tpu.train.data import check_data_root
+
+    rng = np.random.default_rng(0)
+    _fabricate_full_mnist(tmp_path, rng)
+    rep = check_data_root("MNIST", str(tmp_path))
+    assert rep["ok"], rep["errors"]
+    assert len(rep["sha256_test_x"]) == 64
+
+
+def test_data_check_cli_exit_codes(tmp_path, capsys):
+    from fiode_tpu.cli import main
+
+    with pytest.raises(SystemExit) as ei:
+        main(["data-check", "--dataset", "CIFAR10",
+              "--data-root", str(tmp_path)])
+    assert ei.value.code == 1
+    rng = np.random.default_rng(0)
+    _fabricate_full_mnist(tmp_path, rng)
+    main(["data-check", "--dataset", "MNIST", "--data-root", str(tmp_path)])
+    out = capsys.readouterr().out
+    assert "accuracy-parity" in out and "fiode_tpu train" in out

@@ -115,32 +115,56 @@ def _bench():
     # ops at ~100ms each over the relay
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x[:8])
 
-    def many_solves(params, x):
-        def body(i, carry):
-            nfe_total, acc = carry
-            xi = x + (i.astype(jnp.float32) * 1e-5)  # defeat CSE across iters
-            sol = model.solve(params, xi, mode="scan", fused=False)
-            return nfe_total + sol.nfe, acc + sol.ys[-1]
+    def make_many_solves(k):
+        def many_solves(params, x):
+            def body(i, carry):
+                nfe_total, acc = carry
+                # defeat CSE across iters
+                xi = x + (i.astype(jnp.float32) * 1e-5)
+                sol = model.solve(params, xi, mode="scan", fused=False)
+                return nfe_total + sol.nfe, acc + sol.ys[-1]
 
-        return jax.lax.fori_loop(
-            0, N_INNER, body,
-            (jnp.zeros((), jnp.int32), jnp.zeros((BATCH, 10))),
-        )
+            return jax.lax.fori_loop(
+                0, k, body,
+                (jnp.zeros((), jnp.int32), jnp.zeros((BATCH, 10))),
+            )
+
+        return many_solves
+
+    def timed(compiled, n_outer):
+        """(best sample-NFE/s, its dt, NFE count) over n_outer calls."""
+        best = best_dt = n = None
+        for _ in range(n_outer):
+            t0 = time.time()
+            nfe, acc = compiled(params, x)
+            n = int(nfe)  # forces a real sync through the relay
+            dt = time.time() - t0
+            rate = n * BATCH / dt
+            if best is None or rate > best:
+                best, best_dt = rate, dt
+        return best, best_dt, n
 
     # AOT-compile so the same executable serves timing AND cost analysis
-    compiled = jax.jit(many_solves).lower(params, x).compile()
+    compiled = jax.jit(make_many_solves(N_INNER)).lower(params, x).compile()
     nfe, acc = compiled(params, x)  # warmup
     acc.block_until_ready()
+    best, best_dt, n = timed(compiled, N_OUTER)
 
-    best = best_dt = None
-    for _ in range(N_OUTER):
-        t0 = time.time()
-        nfe, acc = compiled(params, x)
-        n = int(nfe)  # forces a real sync
-        dt = time.time() - t0
-        rate = n * BATCH / dt
-        if best is None or rate > best:
-            best, best_dt = rate, dt
+    # Dispatch-vs-device decomposition (two-point fit): time the SAME
+    # program at K=1 solve per call; dt(K) = a + b*K gives the per-call
+    # relay/dispatch overhead a and the pure device time b per solve.
+    # device_busy_frac says how much of the metric's wall time the chip is
+    # actually working — the measured answer to whether the next speedup
+    # comes from fusing more work per call (a dominates) or from the
+    # VPU-bound RHS itself (b dominates).
+    compiled1 = jax.jit(make_many_solves(1)).lower(params, x).compile()
+    compiled1(params, x)[1].block_until_ready()  # warmup
+    _, dt1, _ = timed(compiled1, N_OUTER)
+    a = max(0.0, (N_INNER * dt1 - best_dt) / (N_INNER - 1))
+    dispatch = {
+        "dispatch_ms_per_call": round(1e3 * a, 1),
+        "device_busy_frac": round((best_dt - a) / best_dt, 3),
+    }
 
     extra = roofline(compiled, best_dt)
     if "program_tflops" in extra:
@@ -156,6 +180,7 @@ def _bench():
                 "value": round(best, 1),
                 "unit": "RHS evals * samples / sec",
                 "vs_baseline": round(best / REF_SAMPLE_NFE_PER_SEC, 3),
+                **dispatch,
                 **extra,
             }
         )

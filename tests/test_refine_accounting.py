@@ -108,3 +108,23 @@ def test_certified_verdict_is_final_across_passes(campaign):
         ["--run-dir", str(campaign), "--summary", "sum.json"])
     assert out["certified"] == 5
     assert 3 not in out["open_images"]
+
+
+def test_inclusion_check_on_committed_artifacts(tmp_path):
+    """certified ⊆ robust must hold between the committed certified set
+    and the committed full-512 AutoAttack artifact (t_max=1.0)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    try:
+        from inclusion_check import main as inclusion_main
+    finally:
+        sys.path.pop(0)
+
+    out = inclusion_main([
+        "--attack", "autoattack_full_standard_512.json",
+        "--out", str(tmp_path / "incl.json"),
+    ])
+    assert out["inclusion_holds"]
+    assert out["certified"] >= 474  # never regresses below the committed count

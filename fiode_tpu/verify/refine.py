@@ -126,6 +126,13 @@ def _kernels(cert, alpha_iters: int = 0, lips_box: bool = False):
     ``box_step_fn`` instead of paying alpha on all cells.  The split-dim
     gradient stays plain-CROWN either way (only the split CHOICE uses it;
     any choice is sound).
+
+    MEASURED VERDICT (round 4, run_data/certified_full/ALPHA_CROWN.json):
+    alpha_iters does NOT pay on this workload — 0 images recovered at
+    ~11x cost per box (274K vs 3.07M cells/s).  The mechanism is kept
+    because it is sound, tested, and the measurement is model-specific;
+    production passes should run alpha_iters=0 (+ lips_box, which does
+    pay).
     """
     from ..models.dynamics import barrier_bounds
     from ..ops.simplex_qp import simplex_cone_project

@@ -40,6 +40,7 @@ __all__ = [
     "simplex_cone_project",
     "simplex_box_project",
     "cone_project_mu",
+    "cone_project_mu_exact",
     "box_project_mu",
 ]
 
@@ -94,31 +95,77 @@ def cone_project_mu(lower, nominal, n_iter: int = 30, unroll: bool = False):
     return _bisect_mu(sum_at, mu_lo, mu_hi, n_iter, unroll)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def cone_project_mu_exact(lower, nominal):
+    """Exact dual optimum mu for the no-upper projection (no grad).
+
+    The projection is water-filling in ``w = nominal - lower``: find mu
+    with ``sum(max(w - mu, 0)) = s`` where ``s = -sum(lower) >= 0``.  The
+    left side is piecewise linear in mu with breakpoints at the ``w_i``,
+    so the root has a closed form per segment: with the top-k elements
+    free, ``mu_k = (sum_topk(w) - s) / k``, and the optimal k is the
+    largest with ``w_(k) > mu_k`` (the standard simplex-projection rank
+    rule, computed here with pairwise rank statistics instead of a sort —
+    one parallel pass over a (..., n, n) mask instead of the 30-iteration
+    sequential bisection, whose value-dependency chain is what the TPU
+    VPU serializes on in the ODE RHS).
+
+    Ties broken by index so duplicated ``w`` values count once each.
+    Accuracy: exact up to fp rounding, i.e. at or below the bisection's
+    terminal bracket width (range * 2^-30).
+    """
+    w = nominal - lower
+    s = -jnp.sum(lower, axis=-1, keepdims=True)
+    n = w.shape[-1]
+    idx = jnp.arange(n)
+    # ge[..., i, j]: does j belong to the free set when i is the smallest
+    # free element (rank threshold), with index tiebreak for equal values
+    wi = w[..., :, None]
+    wj = w[..., None, :]
+    ge = (wj > wi) | ((wj == wi) & (idx[None, :] <= idx[:, None]))
+    k = jnp.sum(ge, axis=-1).astype(w.dtype)          # rank of w_i from top
+    S = jnp.sum(jnp.where(ge, wj, 0.0), axis=-1)      # sum of top-k values
+    mu_c = (S - s) / k
+    valid = w > mu_c
+    # the optimum uses the LARGEST valid rank k (selecting by smallest w
+    # instead would be ambiguous under ties, where several i share w but
+    # carry different k); when none is valid (s == 0 with all coordinates
+    # clamped), any mu >= max(w) works, take mu = max(w)
+    k_masked = jnp.where(valid, k, 0.0)
+    i_star = jnp.argmax(k_masked, axis=-1, keepdims=True)
+    mu = jnp.take_along_axis(mu_c, i_star, axis=-1)
+    any_valid = jnp.any(valid, axis=-1, keepdims=True)
+    return jnp.where(any_valid, mu, jnp.max(w, axis=-1, keepdims=True))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def simplex_cone_project(lower, nominal, n_iter: int = 30,
-                         unroll: bool = False):
+                         unroll: bool = False, method: str = "bisect"):
     """Project ``nominal`` onto {v : sum(v)=0, v >= lower}.
 
     Args:
       lower:   (..., n) elementwise lower bound (must admit sum(lower) <= 0).
       nominal: (..., n) point to project.
-      n_iter:  bisection iterations (static).
+      n_iter:  bisection iterations (static; ignored for method="exact").
       unroll:  flatten the bisection into the graph (see _bisect_mu).
+      method:  "bisect" (reference-matching fixed-iteration dual search)
+               or "exact" (closed-form rank-rule mu, cone_project_mu_exact).
 
     Returns:
       (..., n) projected velocity v*.
     """
-    mu = cone_project_mu(lower, nominal, n_iter, unroll)
+    mu = (cone_project_mu_exact(lower, nominal) if method == "exact"
+          else cone_project_mu(lower, nominal, n_iter, unroll))
     return jnp.maximum(nominal - mu, lower)
 
 
-def _cone_fwd(lower, nominal, n_iter, unroll):
-    mu = cone_project_mu(lower, nominal, n_iter, unroll)
+def _cone_fwd(lower, nominal, n_iter, unroll, method):
+    mu = (cone_project_mu_exact(lower, nominal) if method == "exact"
+          else cone_project_mu(lower, nominal, n_iter, unroll))
     v = jnp.maximum(nominal - mu, lower)
     return v, (v, mu, lower, nominal)
 
 
-def _cone_bwd(n_iter, unroll, res, g):
+def _cone_bwd(n_iter, unroll, method, res, g):
     v, mu, lower, nominal = res
     # Active set = the branch the clamp took.  (Equivalent to the KKT
     # multiplier sign lambda = v - nominal + mu > 0 used by the reference at

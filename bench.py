@@ -48,6 +48,10 @@ import time
 
 import numpy as np
 
+def _env_flag(name):
+    import os
+    return os.environ.get(name, "").lower() in ("1", "true", "yes")
+
 REF_SAMPLE_NFE_PER_SEC = 150_000.0
 # v5e single-chip peaks (public spec): 197 TFLOP/s bf16 MXU, 819 GB/s HBM
 V5E_PEAK_BF16_FLOPS = 197e12
@@ -180,6 +184,8 @@ def _bench():
                 "value": round(best, 1),
                 "unit": "RHS evals * samples / sec",
                 "vs_baseline": round(best / REF_SAMPLE_NFE_PER_SEC, 3),
+                "qp_method": ("exact" if _env_flag("FIODE_QP_EXACT")
+                              else "bisect"),
                 **dispatch,
                 **extra,
             }

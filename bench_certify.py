@@ -34,6 +34,10 @@ import time
 
 import numpy as np
 
+def _env_flag(name):
+    import os
+    return os.environ.get(name, "").lower() in ("1", "true", "yes")
+
 REF_CELLS_PER_SEC = 50_000.0
 CHUNK = 4096
 N_IMAGES = 8
@@ -142,6 +146,8 @@ def _bench():
                 "unit": f"image-cells/sec (T=40, n=10, mlp=128, "
                 f"8 images batched, {precision} matmuls)",
                 "vs_baseline": round(best / REF_CELLS_PER_SEC, 3),
+                "qp_method": ("exact" if _env_flag("FIODE_QP_EXACT")
+                              else "bisect"),
                 **extra,
             }
         )

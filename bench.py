@@ -48,9 +48,9 @@ import time
 
 import numpy as np
 
-def _env_flag(name):
-    import os
-    return os.environ.get(name, "").lower() in ("1", "true", "yes")
+def _qp_method():
+    from fiode_tpu.ops.simplex_qp import qp_method_from_env
+    return qp_method_from_env()
 
 REF_SAMPLE_NFE_PER_SEC = 150_000.0
 # v5e single-chip peaks (public spec): 197 TFLOP/s bf16 MXU, 819 GB/s HBM
@@ -184,8 +184,7 @@ def _bench():
                 "value": round(best, 1),
                 "unit": "RHS evals * samples / sec",
                 "vs_baseline": round(best / REF_SAMPLE_NFE_PER_SEC, 3),
-                "qp_method": ("exact" if _env_flag("FIODE_QP_EXACT")
-                              else "bisect"),
+                "qp_method": _qp_method(),
                 **dispatch,
                 **extra,
             }

@@ -34,9 +34,9 @@ import time
 
 import numpy as np
 
-def _env_flag(name):
-    import os
-    return os.environ.get(name, "").lower() in ("1", "true", "yes")
+def _qp_method():
+    from fiode_tpu.ops.simplex_qp import qp_method_from_env
+    return qp_method_from_env()
 
 REF_CELLS_PER_SEC = 50_000.0
 CHUNK = 4096
@@ -146,8 +146,7 @@ def _bench():
                 "unit": f"image-cells/sec (T=40, n=10, mlp=128, "
                 f"8 images batched, {precision} matmuls)",
                 "vs_baseline": round(best / REF_CELLS_PER_SEC, 3),
-                "qp_method": ("exact" if _env_flag("FIODE_QP_EXACT")
-                              else "bisect"),
+                "qp_method": _qp_method(),
                 **extra,
             }
         )

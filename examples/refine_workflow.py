@@ -152,9 +152,9 @@ def main():
     # the QP dual method changes bound values (exact vs 30-iter bisection
     # mu differ at the last ulp), so a gave-up under one method retries
     # under the other — certified verdicts stay final (both are sound)
-    from fiode_tpu.utils.debug import env_flag
-    if env_flag("FIODE_QP_EXACT"):
-        budget_params["qp_exact"] = True
+    from fiode_tpu.ops.simplex_qp import qp_method_from_env
+    if qp_method_from_env() != "bisect":
+        budget_params["qp_method"] = qp_method_from_env()
     out_path = run_dir / args.out  # pathlib: absolute args.out wins
     stream_path = out_path.with_name(out_path.stem + "_stream.jsonl")
     streamed = {}

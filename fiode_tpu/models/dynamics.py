@@ -92,13 +92,14 @@ class SimplexDynamics(nn.Module):
         # FIODE_QP_UNROLL=1 flattens the 30-iteration bisection into the
         # surrounding graph (one fused elementwise kernel instead of a
         # rolled loop per RHS eval) — measured per-workload before enabling;
-        # see ops/simplex_qp._bisect_mu.  FIODE_QP_EXACT=1 replaces the
-        # bisection entirely with the closed-form rank-rule mu
-        # (cone_project_mu_exact): one parallel pass, no 30-step serial
-        # value dependency — measured per-workload like the other flags.
+        # see ops/simplex_qp._bisect_mu.  FIODE_QP_METHOD=exact|sort
+        # replaces the bisection entirely with the closed-form rank-rule
+        # mu: one parallel pass, no 30-step serial value dependency —
+        # measured per-workload like the other flags.
+        from ..ops.simplex_qp import qp_method_from_env
         return simplex_cone_project(
             lower, f_tilde, self.qp_iters, env_flag("FIODE_QP_UNROLL"),
-            "exact" if env_flag("FIODE_QP_EXACT") else "bisect",
+            qp_method_from_env(),
         )
 
     def __call__(self, h, x, *, train: bool = False, scale_nominal=None):

@@ -89,12 +89,13 @@ def ibp_cbf_qp_band(
     flat = lambda a: a.reshape(N * n, n)
     # unroll=True: the bisection fuses into one elementwise kernel — the
     # rolled while-op's per-iteration overhead dominated the whole
-    # certification sweep (3x) at these row counts.  FIODE_QP_EXACT swaps
-    # the cone bisection for the closed-form rank-rule mu (exact to fp
-    # rounding, so never less sound); the two-sided box solver (linear-
-    # barrier variant only) has no exact form here and keeps bisecting.
-    from ..utils.debug import env_flag
-    method = "exact" if env_flag("FIODE_QP_EXACT") else "bisect"
+    # certification sweep (3x) at these row counts.  FIODE_QP_METHOD /
+    # FIODE_QP_EXACT swap the cone bisection for a closed-form rank-rule
+    # mu (exact to fp rounding, so never less sound); the two-sided box
+    # solver (linear-barrier variant only) has no exact form here and
+    # keeps bisecting.
+    from ..ops.simplex_qp import qp_method_from_env
+    method = qp_method_from_env()
     if with_upper:
         upper_lb = alpha_2 * (1.0 - h_for_lb)
         upper_ub = alpha_2 * (1.0 - h_for_ub)

@@ -161,14 +161,13 @@ def _kernels(cert, alpha_iters: int = 0, lips_box: bool = False):
         lower, upper = barrier_bounds(eta_l, a1, s1, a2)
         if cert.scale_nominal:
             f_t = (upper - lower) * jax.nn.sigmoid(f_t) + lower
-        # FIODE_QP_EXACT swaps the 30-iter dual bisection for the
-        # closed-form rank-rule mu (ops/simplex_qp.cone_project_mu_exact)
-        # — same flag as the ODE RHS; exact-to-rounding, so never less
-        # sound than the bisection it replaces
-        from ..utils.debug import env_flag
+        # FIODE_QP_METHOD / FIODE_QP_EXACT swap the 30-iter dual bisection
+        # for a closed-form rank-rule mu (ops/simplex_qp) — same flag as
+        # the ODE RHS; exact-to-rounding, so never less sound than the
+        # bisection it replaces
+        from ..ops.simplex_qp import qp_method_from_env
         return simplex_cone_project(
-            lower, f_t, qp_iters, False,
-            "exact" if env_flag("FIODE_QP_EXACT") else "bisect",
+            lower, f_t, qp_iters, False, qp_method_from_env()
         )
 
     def lips_val(eta_l, eps, x_bias, label):

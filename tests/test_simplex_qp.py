@@ -225,28 +225,32 @@ class TestBoxProjection:
                     )
 
 
-class TestExactConeMethod:
-    """Closed-form rank-rule mu (cone_project_mu_exact) vs the oracles."""
+import pytest
 
-    def test_matches_long_bisection_oracle(self):
+
+@pytest.mark.parametrize("method", ["exact", "sort"])
+class TestExactConeMethod:
+    """Closed-form rank-rule mu (pairwise and sort variants) vs oracles."""
+
+    def test_matches_long_bisection_oracle(self, method):
         rng = np.random.default_rng(7)
         lower, nominal = make_problem(rng, batch=64)
-        f = jax.jit(lambda l, n: simplex_cone_project(l, n, method="exact"))
+        f = jax.jit(lambda l, n: simplex_cone_project(l, n, method=method))
         v = np.asarray(f(lower, nominal))
         np.testing.assert_allclose(v, exact_cone_project(lower, nominal),
                                    atol=2e-6)
         np.testing.assert_allclose(v.sum(-1), 0.0, atol=2e-6)
         assert np.all(v >= lower - 1e-6)
 
-    def test_matches_bisect_method(self):
+    def test_matches_bisect_method(self, method):
         rng = np.random.default_rng(8)
         lower, nominal = make_problem(rng, batch=32)
         fb = jax.jit(lambda l, n: simplex_cone_project(l, n))
-        fe = jax.jit(lambda l, n: simplex_cone_project(l, n, method="exact"))
+        fe = jax.jit(lambda l, n: simplex_cone_project(l, n, method=method))
         np.testing.assert_allclose(np.asarray(fb(lower, nominal)),
                                    np.asarray(fe(lower, nominal)), atol=5e-6)
 
-    def test_ties_and_degenerate_cases(self):
+    def test_ties_and_degenerate_cases(self, method):
         # duplicated nominal values (rank ties) and s == 0 (all bounds
         # active: the only feasible point is v == lower == 0)
         lower = np.full((3, N), -0.5, np.float32)
@@ -255,7 +259,7 @@ class TestExactConeMethod:
             np.array([1, 1, 1, -1, -1, -1], np.float32),  # two tie groups
             np.arange(N).astype(np.float32),
         ])
-        f = jax.jit(lambda l, n: simplex_cone_project(l, n, method="exact"))
+        f = jax.jit(lambda l, n: simplex_cone_project(l, n, method=method))
         v = np.asarray(f(lower, nominal))
         np.testing.assert_allclose(
             v, exact_cone_project(lower, nominal), atol=2e-6)
@@ -263,12 +267,12 @@ class TestExactConeMethod:
         v0 = np.asarray(f(z, z + np.array([0.0, 1.0])[:, None]))
         np.testing.assert_allclose(v0, np.zeros_like(v0), atol=1e-6)
 
-    def test_vjp_flows_through_exact_method(self):
+    def test_vjp_flows_through_exact_method(self, method):
         rng = np.random.default_rng(9)
         lower, nominal = make_problem(rng, batch=4)
         g = jax.jit(jax.grad(
             lambda n: jnp.sum(
-                simplex_cone_project(lower, n, method="exact") ** 2)
+                simplex_cone_project(lower, n, method=method) ** 2)
         ))(jnp.asarray(nominal))
         gb = jax.jit(jax.grad(
             lambda n: jnp.sum(simplex_cone_project(lower, n) ** 2)

@@ -278,3 +278,17 @@ class TestExactConeMethod:
             lambda n: jnp.sum(simplex_cone_project(lower, n) ** 2)
         ))(jnp.asarray(nominal))
         np.testing.assert_allclose(np.asarray(g), np.asarray(gb), atol=2e-5)
+
+
+def test_qp_method_env_resolution(monkeypatch):
+    from fiode_tpu.ops.simplex_qp import qp_method_from_env
+
+    monkeypatch.delenv("FIODE_QP_METHOD", raising=False)
+    monkeypatch.delenv("FIODE_QP_EXACT", raising=False)
+    assert qp_method_from_env() == "bisect"
+    monkeypatch.setenv("FIODE_QP_EXACT", "1")
+    assert qp_method_from_env() == "exact"
+    monkeypatch.setenv("FIODE_QP_METHOD", "sort")  # explicit method wins
+    assert qp_method_from_env() == "sort"
+    monkeypatch.setenv("FIODE_QP_METHOD", "nonsense")  # falls through
+    assert qp_method_from_env() == "exact"

@@ -369,6 +369,31 @@ def run_autoattack(cfg: dict, run_dir: str = ".", max_images=None,
             model.solve(params, x, mode="scan").ys[-1], params.get("output")
         )
 
+    # Trip-budget completion guard: the scan integrator executes every
+    # budgeted trip (masked once t_final is reached), so callers tune
+    # module.max_steps down for attack speed (t_max=0.1 solves take ONE
+    # attempt; the old 64-trip default was ~64x masked waste per forward).
+    # Masked trips are identity on the state, so a smaller budget is
+    # bit-identical — IF integration completes.  Probe the first batch
+    # (clean + eps-ball corner) and fail loudly on a too-tight budget
+    # instead of silently attacking a truncated solve.
+    probe = jnp.asarray(xs[: min(64, len(xs))])
+    eps_f = float(cfg.get("eps", 36 / 255))
+    probe = jnp.concatenate(
+        [probe, jnp.clip(probe + eps_f * jnp.sign(probe - 0.5), 0.0, 1.0)]
+    )
+    sol = jax.jit(
+        lambda p, x: model.solve(p, x, mode="scan")
+    )(params, probe)
+    attempts = int(sol.n_accepted) + int(sol.n_rejected)
+    if attempts >= model.max_steps:
+        raise RuntimeError(
+            f"solver hit the max_steps={model.max_steps} trip budget "
+            f"(attempts={attempts}) on the completion probe — raise "
+            "++module.max_steps; attacking a truncated solve would be "
+            "unsound"
+        )
+
     n_iter = int(cfg.get("attack_n_iter", 100))
     # 5000 queries = the autoattack package's 'standard' version
     # (reference eval_autoattack.py:51 semantics)
@@ -410,6 +435,8 @@ def run_autoattack(cfg: dict, run_dir: str = ".", max_images=None,
                 "eps": float(cfg.get("eps", 36 / 255)),
                 "norm": str(cfg.get("norm", "2")),
                 "t_max": float(cfg["module"].get("t_max", 1.0)),
+                "max_steps": int(model.max_steps),
+                "probe_attempts": attempts,
                 "n_images": n_total,
                 "robust_acc": robust_total / max(n_total, 1),
                 # audit trail (reference eval_autoattack.py:79-89 saves
